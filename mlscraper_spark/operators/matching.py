@@ -1,0 +1,140 @@
+"""P1–P4 — the distributed match scan over the ``nodes`` table.
+
+Relational re-expression of ``Node.find_all``
+(``/root/reference/mlscraper/html.py:84-104``) + the dimensions filter
+(``matches.py:227-234``):
+
+* P1 exact-text: a node matches value V iff some *direct text child*,
+  stripped, equals V → ``explode(own_texts) == V`` (the anchored-regex
+  semantics of html.py:89 as trim-equality, spec-by-test
+  tests/test_html.py:51-57).
+* P2 ancestor propagation: every ancestor with identical stripped subtree
+  text also matches (html.py:95-97) → self-join on ``array_contains``.
+* P3 attribute-value: any attribute equal to V (html.py:100-104), excluding
+  bs4 multi-valued attrs ('class'/'rel') which the reference compares
+  list-vs-str (never equal).
+* P4 dimensions filter: drop width/height attribute hits (samples.py:37).
+
+Scale notes: the values side is tiny (sample leaves) and is broadcast; the
+ancestor self-join stays within a page (equi-join on page_id, broadcast-able
+because match output is small); filters push to the parquet scan of nodes.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# sort-key components reproducing the reference generation order
+# (html.py:87-104): text matches in document order, each immediately followed
+# by its promoted ancestors (nearest first), then attribute matches.
+_PHASE_TEXT, _PHASE_ATTR = 0, 1
+
+
+def scan_matches(nodes_df: DataFrame, values_df: DataFrame,
+                 drop_dimensions: bool = True) -> DataFrame:
+    """Return matches of each value over the nodes table.
+
+    ``values_df``: single column ``value`` (distinct sample string leaves).
+    Output: page_id, value, node_id, extractor_kind ('text'|'attr'),
+    extractor_attr, sort_key (array<int>; reference generation order).
+    """
+    v = F.broadcast(values_df.select("value").distinct())
+
+    direct = (
+        nodes_df.select(
+            "page_id", "node_id", "ancestor_ids", "text",
+            F.explode("own_texts").alias("own_text"),
+        )
+        .join(v, F.col("own_text") == F.col("value"))
+        .dropDuplicates(["page_id", "node_id", "value"])
+    )
+
+    text_matches = direct.select(
+        "page_id",
+        "value",
+        "node_id",
+        F.lit("text").alias("extractor_kind"),
+        F.lit(None).cast("string").alias("extractor_attr"),
+        F.array(F.lit(_PHASE_TEXT), F.col("node_id"), F.lit(0)).alias("sort_key"),
+    )
+
+    anc = (
+        direct.alias("m")
+        .join(
+            nodes_df.alias("a"),
+            (F.col("m.page_id") == F.col("a.page_id"))
+            & F.array_contains(F.col("m.ancestor_ids"), F.col("a.node_id"))
+            & (F.col("a.text") == F.col("m.text")),
+        )
+        .select(
+            F.col("m.page_id").alias("page_id"),
+            F.col("m.value").alias("value"),
+            F.col("a.node_id").alias("node_id"),
+            F.lit("text").alias("extractor_kind"),
+            F.lit(None).cast("string").alias("extractor_attr"),
+            F.array(
+                F.lit(_PHASE_TEXT),
+                F.col("m.node_id"),
+                # ancestor offset: nearest ancestors first (html.py:95-97)
+                F.col("m.node_id") - F.col("a.node_id"),
+            ).alias("sort_key"),
+        )
+    )
+
+    attr_matches = (
+        nodes_df.select(
+            "page_id", "node_id", F.explode("attrs").alias("attr", "attr_value")
+        )
+        .filter(~F.col("attr").isin("class", "rel"))
+        .join(v, F.col("attr_value") == F.col("value"))
+        .select(
+            "page_id",
+            "value",
+            "node_id",
+            F.lit("attr").alias("extractor_kind"),
+            F.col("attr").alias("extractor_attr"),
+            F.array(F.lit(_PHASE_ATTR), F.col("node_id"), F.lit(0)).alias("sort_key"),
+        )
+    )
+
+    out = text_matches.unionByName(anc).unionByName(attr_matches)
+    if drop_dimensions:
+        out = out.filter(
+            (F.col("extractor_kind") != "attr")
+            | ~F.col("extractor_attr").isin("width", "height")
+        )
+    # dedupe deterministically: keep the earliest generation-order key
+    return out.groupBy(
+        "page_id", "value", "node_id", "extractor_kind", "extractor_attr"
+    ).agg(F.min("sort_key").alias("sort_key"))
+
+
+def build_value_match_index(spark: SparkSession, pages: list[tuple[str, bytes]],
+                            values: list[str]) -> dict:
+    """Run the distributed scan for training (SURVEY.md §3.1 stage 1) and
+    collect the (small, top-k-bounded) result to the driver as
+    {(page_key, value): [(node_id, extractor_tuple), ...]} in reference
+    generation order."""
+    from mlscraper_spark.operators.explode import explode_pages
+
+    pages_df = spark.createDataFrame(
+        [(k, bytearray(h) if isinstance(h, bytes) else h) for k, h in pages],
+        "page_id string, html binary",
+    )
+    nodes_df = explode_pages(pages_df)
+    values_df = spark.createDataFrame([(s,) for s in set(values)], "value string")
+    rows = (
+        scan_matches(nodes_df, values_df, drop_dimensions=False)
+        .sort("page_id", "value", "sort_key")
+        .collect()
+    )
+    index: dict = {}
+    for r in rows:
+        ext = ("text",) if r.extractor_kind == "text" else ("attr", r.extractor_attr)
+        index.setdefault((r.page_id, r.value), []).append((r.node_id, ext))
+    # pages×values with no hits must exist as empty lists so the trainer
+    # raises NoMatchFoundException instead of falling back to a local scan
+    for k, _ in pages:
+        for val in values:
+            index.setdefault((k, val), [])
+    return index

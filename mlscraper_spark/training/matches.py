@@ -54,9 +54,9 @@ def node_similarity(dom1: PageDOM, id1: int, dom2: PageDOM, id2: int,
     c2 = {c for c in r2.classes if is_supported_class(c)}
     inter, union = len(c1 & c2), len(c1 | c2)
     if inter == union:
-        jac = 1.0  # includes 0/0 (html.py:262-263)
-    else:
-        jac = inter / union
+        return 1.0  # early return, no parent blending; includes 0/0
+        # (html.py:262-263)
+    jac = inter / union
     p1 = r1.parent_id if r1.parent_id >= 0 else PAGE_ROOT
     p2 = r2.parent_id if r2.parent_id >= 0 else PAGE_ROOT
     # reference recurses iff both parents truthy; Page.parent is None, but a

@@ -1,0 +1,129 @@
+"""Distributed operators: explode, match scan (vs local scan), extraction,
+and Spark-backed training (SURVEY.md §3.1/§3.2 architecture)."""
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlscraper_spark.dom.css import PageDOM
+from mlscraper_spark.dom.parser import parse_html
+from mlscraper_spark.fixtures import quotes_author_page
+from mlscraper_spark.operators.explode import explode_pages
+from mlscraper_spark.operators.extract import extract_list_items, extract_with_plan
+from mlscraper_spark.operators.matching import build_value_match_index, scan_matches
+from mlscraper_spark.training.matches import scan_value_matches
+from tests.conftest import SO_ITEM, reference_fixture
+
+
+def _pages_df(spark, pages):
+    return spark.createDataFrame(
+        [(k, bytearray(h if isinstance(h, bytes) else h.encode())) for k, h in pages],
+        "page_id string, html binary",
+    )
+
+
+def test_explode_pages(spark):
+    html = b'<html><body><div id="d"><p class="x y">hi</p></div></body></html>'
+    nodes = explode_pages(_pages_df(spark, [("p1", html)])).collect()
+    by_tag = {r.tag: r for r in nodes}
+    assert set(by_tag) == {"html", "body", "div", "p"}
+    p = by_tag["p"]
+    assert p.classes == ["x", "y"]
+    assert p.own_texts == ["hi"]
+    assert by_tag["div"].id_attr == "d"
+    assert p.parent_id == by_tag["div"].node_id
+    assert by_tag["div"].node_id in p.ancestor_ids
+
+
+def test_scan_matches_agrees_with_local(spark):
+    """The distributed scan and the driver-side scan must be one semantics."""
+    html = reference_fixture("so.html")
+    values = ["/users/624900/jterrace", "20", "2011-06-16 19:45:11Z"]
+    nodes = explode_pages(_pages_df(spark, [("so", html)]))
+    values_df = spark.createDataFrame([(v,) for v in values], "value string")
+    got = {
+        (r.value, r.node_id, r.extractor_kind, r.extractor_attr)
+        for r in scan_matches(nodes, values_df, drop_dimensions=False).collect()
+    }
+    dom = PageDOM(parse_html(html))
+    want = set()
+    for v in values:
+        for m in scan_value_matches("so", dom, v):
+            kind = m.extractor[0]
+            attr = m.extractor[1] if kind == "attr" else None
+            want.add((v, m.node_id, kind, attr))
+    assert got == want
+
+
+def test_scan_matches_dimensions_filter(spark):
+    html = b'<html><body><img height="20" width="20"></body></html>'
+    nodes = explode_pages(_pages_df(spark, [("p", html)]))
+    values_df = spark.createDataFrame([("20",)], "value string")
+    assert scan_matches(nodes, values_df).count() == 0
+    assert scan_matches(nodes, values_df, drop_dimensions=False).count() > 0
+
+
+def test_extract_with_plan_distributed(spark):
+    from mlscraper_spark.training.scrapers import css_selector, dict_plan, value_plan
+
+    plan = dict_plan(
+        {
+            "name": value_plan(css_selector(".author-title"), {"kind": "text"}),
+            "born": value_plan(css_selector(".author-born-date"), {"kind": "text"}),
+        }
+    )
+    pages = [(k, quotes_author_page(k)) for k in ["einstein", "rowling", "austen"]]
+    rows = extract_with_plan(_pages_df(spark, pages), plan).collect()
+    got = {r.page_id: json.loads(r.value_json) for r in rows}
+    assert got["rowling"] == {"name": "J.K. Rowling", "born": "July 31, 1965"}
+    assert got["einstein"]["born"] == "March 14, 1879"
+    assert len(got) == 3
+
+
+def test_extract_list_items_stackoverflow(spark):
+    from mlscraper_spark.training.scrapers import (
+        css_selector,
+        dict_plan,
+        list_plan,
+        value_plan,
+    )
+
+    plan = list_plan(
+        css_selector(".answer"),
+        dict_plan(
+            {
+                "user": value_plan(
+                    css_selector(".user-details a"), {"kind": "attr", "attr": "href"}
+                ),
+                "upvotes": value_plan(css_selector(".js-vote-count"), {"kind": "text"}),
+                "when": value_plan(
+                    css_selector(".user-action-time span"),
+                    {"kind": "attr", "attr": "title"},
+                ),
+            }
+        ),
+    )
+    df = extract_list_items(_pages_df(spark, [("so", reference_fixture("so.html"))]), plan)
+    items = [json.loads(r.item_json) for r in df.sort("item_index").collect()]
+    assert items == SO_ITEM
+
+
+def test_train_scraper_spark_end_to_end(spark):
+    """Quotes golden with the match scan running as a Spark job."""
+    from mlscraper_spark.api import scrape, train_scraper
+
+    plan = train_scraper(
+        [(quotes_author_page("einstein"),
+          {"name": "Albert Einstein", "born": "March 14, 1879"})],
+        spark=spark,
+    )
+    result = scrape(_pages_df(spark, [("rowling", quotes_author_page("rowling"))]), plan)
+    value = json.loads(result.collect()[0].value_json)
+    assert value == {"name": "J.K. Rowling", "born": "July 31, 1965"}
+
+
+def test_value_match_index_empty_for_missing(spark):
+    idx = build_value_match_index(
+        spark, [("p", b"<html><body><p>a</p></body></html>")], ["zzz"]
+    )
+    assert idx[("p", "zzz")] == []
