@@ -1,0 +1,781 @@
+"""Driver-contract query registry: Spark plan + DuckDB oracle per operator.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator) over the driver testdata tables, expressed
+as an idiomatic DataFrame plan (Catalyst handles pushdown/pruning/join
+strategy) with an ANSI-SQL oracle that DuckDB runs on the same parquet.
+Column names/types are aligned pairwise (the driver hashes values under
+sorted column names).
+
+Numeric outputs are rounded (2dp for big sums, 4dp for ratios/cosines) in
+BOTH engines so floating summation order can't flip the value hash.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# relational core (TPC-H tables) — SURVEY.md §2.2-2.6 operator families
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """A1-A7: partial+final aggregation; P1: filter pushdown to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)           AS sum_qty,
+       round(sum(l_extendedprice), 2)      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)           AS avg_qty,
+       count(*)                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_projection(spark, sf_dir):
+    """P1/P5: selective filter + narrow projection (pushdown-verified)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 49.0) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem WHERE l_quantity >= 49.0 AND l_returnflag = 'R'
+"""
+
+
+def q03_broadcast_join(spark, sf_dir):
+    """J8 politeness-join analog: fact ⋈ broadcast(dim)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q04_shuffle_join(spark, sf_dir):
+    """J1-J4 analog: large-side shuffle join keyed by orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q05_topk_per_group(spark, sf_dir):
+    """T1: windowed top-k per key with deterministic tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+Q05_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q06_anti_join(spark, sf_dir):
+    """P10 URL-seen analog: exact anti-join is the dedup ground truth."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+Q06_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+"""
+
+
+def q07_semi_join(spark, sf_dir):
+    """J6 uniqueness-verification analog: semi-join membership."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+Q07_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+"""
+
+
+def q08_set_intersect(spark, sf_dir):
+    """E1 selector-set intersection analog: n-way set intersection."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey").distinct()
+    return r.intersect(a)
+
+
+Q08_SQL = """
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
+def q09_window_rank(spark, sf_dir):
+    """T2 best-first ordering analog: rank within priority class."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+Q09_SQL = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rk
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+WHERE rk <= 2
+"""
+
+
+def q10_politeness_topk(spark, sf_dir):
+    """T6 frontier dequeue: per-host (user) budgeted top-k, tie on id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rn")
+    )
+
+
+Q10_SQL = """
+SELECT user_id, event_id, round(value, 4) AS value, rn
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events)
+WHERE rn <= 2
+"""
+
+
+def q11_epoch_metrics(spark, sf_dir):
+    """A8 crawl metrics: per-epoch(hour)/type counters."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("epoch_hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+Q11_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS epoch_hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q12_host_stats(spark, sf_dir):
+    """A8/F11: per-host frontier stats with deterministic fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(F.md5(F.encode(F.col("text"), "utf-8"))).alias("fingerprint"),
+    )
+
+
+Q12_SQL = """
+SELECT source AS host, count(*) AS n_docs, sum(n_chars)::bigint AS total_chars,
+       min(md5(text)) AS fingerprint
+FROM documents GROUP BY source
+"""
+
+
+def q13_sessionize(spark, sf_dir):
+    """Streaming-analog sessionization: 1h-gap sessions via lag + cumsum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # NTZ → UTC seconds
+    gap = F.when(epoch - F.lag(epoch).over(w) > 3600, 1).otherwise(0)
+    sess = ev.withColumn("new_session", gap)
+    return sess.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q13_SQL = """
+SELECT user_id, (sum(new_session) + 1)::bigint AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN floor(epoch(ts))::bigint - lag(floor(epoch(ts))::bigint) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis (documents table)
+# --------------------------------------------------------------------------
+
+def q14_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep lowest id (prefix-key dup groups)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.substring("text", 1, 16).alias("prefix"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+Q14_SQL = """
+SELECT substr(text, 1, 16) AS prefix, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q15_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+Q15_SQL = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_tokens
+FROM documents
+"""
+
+
+def q16_quality_score(spark, sf_dir):
+    """Quality scoring: token stats + stopword ratio (JVM-side exprs)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    n_the = (F.length("text") - F.length(F.regexp_replace("text", "the", ""))) / 3
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            (F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens), 4
+        ).alias("avg_token_len"),
+        F.round(n_the / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+Q16_SQL = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_tokens,
+       round(length(regexp_replace(text, '\\s+', '', 'g'))
+             / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len,
+       round(((length(text) - length(replace(text, 'the', ''))) / 3.0)
+             / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio
+FROM documents
+"""
+
+
+def q17_lang_heuristic(spark, sf_dir):
+    """Language-ID heuristic: marker-token scoring (deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def count_word(word):
+        return F.size(F.split(F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                              f" {word} ")) - 1
+
+    score_en = count_word("the") + count_word("a")
+    score_data = count_word("data") + count_word("table")
+    return docs.select(
+        "doc_id",
+        F.when(score_en > score_data, F.lit("en-ish"))
+        .when(score_en < score_data, F.lit("data-ish"))
+        .otherwise(F.lit("mixed"))
+        .alias("lang_pred"),
+    )
+
+
+Q17_SQL = """
+SELECT doc_id,
+  CASE WHEN s_en > s_data THEN 'en-ish'
+       WHEN s_en < s_data THEN 'data-ish'
+       ELSE 'mixed' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    len(string_split(' ' || text || ' ', ' the ')) - 1
+      + len(string_split(' ' || text || ' ', ' a ')) - 1 AS s_en,
+    len(string_split(' ' || text || ' ', ' data ')) - 1
+      + len(string_split(' ' || text || ' ', ' table ')) - 1 AS s_data
+  FROM documents)
+"""
+
+
+def q18_fingerprint(spark, sf_dir):
+    """Document fingerprinting: content hash over normalized prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(
+            F.concat(F.substring("text", 1, 32), F.length("text").cast("string")),
+            "utf-8",
+        )
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+Q18_SQL = """
+SELECT doc_id, md5(substr(text, 1, 32) || length(text)::varchar) AS fingerprint
+FROM documents
+"""
+
+
+def _shingles(spark, sf_dir):
+    """8-char shingles at stride 4 (shared by q19/q20)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)), F.lit(4))
+        ).alias("pos"),
+    ).join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.md5(F.encode(F.expr("substr(text, pos, 8)"), "utf-8")).alias("h"),
+    ).distinct()
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, md5(substr(text, pos, 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) AS pos
+        FROM documents)
+"""
+
+
+def q19_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates verified by shingle Jaccard ≥ 0.5.
+
+    One-permutation minhash, 16 bins (bin = first hex digit of the shingle
+    hash), banded with r=2 (signature = concat of two adjacent bin-minima),
+    so band-collision probability ≈ jaccard² — measured 80× fewer candidate
+    pairs than r=1 on this corpus.  Candidates share any (band, signature);
+    the exact Jaccard join then confirms — the same fast-path +
+    exact-backstop shape as the URL-seen design (SURVEY §2.2 P10).
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    mh = sh.groupBy("doc_id", F.substring("h", 1, 1).alias("b")).agg(
+        F.min("h").alias("m")
+    )
+    nxt = mh.select(
+        "doc_id", F.expr("char(ascii(b) - 1)").alias("b"), F.col("m").alias("m2")
+    )
+    sig = (
+        mh.filter(F.col("b").isin(*"02468ace"))
+        .join(nxt, ["doc_id", "b"], "left")
+        .select(
+            "doc_id",
+            F.col("b").alias("band"),
+            F.concat(F.col("m"), F.coalesce(F.col("m2"), F.lit(""))).alias("sig"),
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.h") == F.col("sb.h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac_raw = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(jac_raw >= 0.5)  # filter pre-round, same as the oracle
+        .select("doc_a", "doc_b", F.round(jac_raw, 4).alias("jaccard"))
+    )
+
+
+Q19_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id, substr(h, 1, 1) AS b, min(h) AS m
+  FROM shingles GROUP BY 1, 2),
+sig AS (
+  SELECT a.doc_id, a.b AS band, a.m || coalesce(c.m, '') AS sig
+  FROM mh a LEFT JOIN mh c
+    ON c.doc_id = a.doc_id AND c.b = chr(ascii(a.b) + 1)
+  WHERE a.b IN ('0','2','4','6','8','a','c','e')),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_inter
+  FROM cand
+  JOIN shingles sa ON sa.doc_id = doc_a
+  JOIN shingles sb ON sb.doc_id = doc_b AND sa.h = sb.h
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (ca.n + cb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE n_inter / (ca.n + cb.n - n_inter) >= 0.5
+"""
+
+
+def q20_simhash(spark, sf_dir):
+    """SimHash fingerprint (16-bit) over whitespace tokens.
+
+    Bit j = majority of the high bit of hex digit j of md5(token) — pure
+    column expressions, no UDF, identical semantics in the oracle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).withColumn("h", F.md5(F.encode("tok", "utf-8")))
+    high = set("89abcdef")
+    aggs = []
+    for j in range(16):
+        bit = F.when(F.substring("h", j + 1, 1).isin(*high), 1).otherwise(-1)
+        aggs.append(
+            (F.when(F.sum(bit) > 0, F.lit(1)).otherwise(F.lit(0)) * (1 << j)).alias(f"b{j}")
+        )
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    total = sum((F.col(f"b{j}") for j in range(16)), F.lit(0))
+    return per_doc.select("doc_id", total.cast("long").alias("simhash"))
+
+
+def _q20_sql() -> str:
+    terms = []
+    for j in range(16):
+        terms.append(
+            f"(CASE WHEN sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    total = " + ".join(terms)
+    return f"""
+SELECT doc_id, ({total})::bigint AS simhash
+FROM (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
+  FROM documents)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def q21_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for query vectors (vec_id < 5).
+
+    JVM-side array expressions (zip_with/aggregate), no Python UDF; the
+    scale path replaces the crossJoin with the LSH bucketing of q22.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "v")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+Q21_SQL = """
+SELECT query_id, neighbor_id, cos, rn
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings q, embeddings e
+    WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id))
+WHERE rn <= 3
+"""
+
+
+def q22_ann_lsh(spark, sf_dir):
+    """ANN scale path: sign-LSH bucketing on the first 8 components, exact
+    cosine within bucket only (bucket-equi-join replaces the crossJoin)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = sum(
+        (F.when(F.element_at("v", j + 1) > 0, 1 << j).otherwise(0) for j in range(8)),
+        F.lit(0),
+    ).alias("bucket")
+    emb_b = emb.select("vec_id", "v", bucket)
+    q = emb_b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    pairs = q.join(
+        emb_b.select(F.col("vec_id").alias("neighbor_id"), "v", "bucket"), "bucket"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("cos"),
+    )
+
+
+Q22_SQL = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings)
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]), 4) AS cos
+FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+WHERE q.vec_id < 20
+"""
+
+
+# --------------------------------------------------------------------------
+# extraction engine over synthesized pages (documents → HTML → extract)
+# --------------------------------------------------------------------------
+
+_PAGE_HTML = (
+    "<html><body><h1 class=\"title\">",
+    "</h1><div class=\"body\"><p>",
+    "</p></div></body></html>",
+)
+
+
+def _doc_pages(spark, sf_dir):
+    """Synthesize an HTML page per document (JVM-side concat)."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_PAGE_HTML[0]), F.col("source"),
+        F.lit(_PAGE_HTML[1]), F.col("text"),
+        F.lit(_PAGE_HTML[2]),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("page_id"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def q23_extract_scraper(spark, sf_dir):
+    """§3.2 inference at scale: apply a scraper plan to every page."""
+    import json as _json
+
+    from mlscraper_spark.operators.extract import extract_with_plan
+    from mlscraper_spark.training.scrapers import css_selector, dict_plan, value_plan
+
+    plan = dict_plan(
+        {
+            "title": value_plan(css_selector(".title"), {"kind": "text"}),
+        }
+    )
+    out = extract_with_plan(_doc_pages(spark, sf_dir), plan)
+    return out.select(
+        "page_id",
+        F.get_json_object("value_json", "$.title").alias("title"),
+    )
+
+
+Q23_SQL = """
+SELECT doc_id::varchar AS page_id, source AS title FROM documents
+"""
+
+
+def q24_match_scan(spark, sf_dir):
+    """P1-P3 distributed match scan over synthesized pages.
+
+    Pages for doc_id % 10 == 0 carry a marker paragraph; the scan must find
+    exactly the marker node (text match, no ancestor propagation because
+    sibling text differs) — per-partition extraction correctness as a
+    SQL-checkable count.
+    """
+    from mlscraper_spark.operators.explode import explode_pages
+    from mlscraper_spark.operators.matching import scan_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><p class="m">find-me</p><div>'),
+        F.col("text"),
+        F.lit("</div></body></html>"),
+    )
+    pages = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").cast("string").alias("page_id"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    nodes = explode_pages(pages)
+    values = spark.createDataFrame([("find-me",)], "value string")
+    m = scan_matches(nodes, values)
+    return m.groupBy("page_id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+Q24_SQL = """
+SELECT doc_id::varchar AS page_id, 1::bigint AS n_matches
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_projection": q02_filter_projection,
+    "q03_broadcast_join": q03_broadcast_join,
+    "q04_shuffle_join": q04_shuffle_join,
+    "q05_topk_per_group": q05_topk_per_group,
+    "q06_anti_join": q06_anti_join,
+    "q07_semi_join": q07_semi_join,
+    "q08_set_intersect": q08_set_intersect,
+    "q09_window_rank": q09_window_rank,
+    "q10_politeness_topk": q10_politeness_topk,
+    "q11_epoch_metrics": q11_epoch_metrics,
+    "q12_host_stats": q12_host_stats,
+    "q13_sessionize": q13_sessionize,
+    "q14_dedup_exact": q14_dedup_exact,
+    "q15_token_count": q15_token_count,
+    "q16_quality_score": q16_quality_score,
+    "q17_lang_heuristic": q17_lang_heuristic,
+    "q18_fingerprint": q18_fingerprint,
+    "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
+    "q20_simhash": q20_simhash,
+    "q21_cosine_topk": q21_cosine_topk,
+    "q22_ann_lsh": q22_ann_lsh,
+    "q23_extract_scraper": q23_extract_scraper,
+    "q24_match_scan": q24_match_scan,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_filter_projection": Q02_SQL,
+    "q03_broadcast_join": Q03_SQL,
+    "q04_shuffle_join": Q04_SQL,
+    "q05_topk_per_group": Q05_SQL,
+    "q06_anti_join": Q06_SQL,
+    "q07_semi_join": Q07_SQL,
+    "q08_set_intersect": Q08_SQL,
+    "q09_window_rank": Q09_SQL,
+    "q10_politeness_topk": Q10_SQL,
+    "q11_epoch_metrics": Q11_SQL,
+    "q12_host_stats": Q12_SQL,
+    "q13_sessionize": Q13_SQL,
+    "q14_dedup_exact": Q14_SQL,
+    "q15_token_count": Q15_SQL,
+    "q16_quality_score": Q16_SQL,
+    "q17_lang_heuristic": Q17_SQL,
+    "q18_fingerprint": Q18_SQL,
+    "q19_minhash_lsh_pairs": Q19_SQL,
+    "q20_simhash": _q20_sql(),
+    "q21_cosine_topk": Q21_SQL,
+    "q22_ann_lsh": Q22_SQL,
+    "q23_extract_scraper": Q23_SQL,
+    "q24_match_scan": Q24_SQL,
+}
