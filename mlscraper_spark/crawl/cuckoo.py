@@ -1,0 +1,107 @@
+"""P10 — partitioned cuckoo filter for the URL-seen fast path (new build).
+
+One filter per ``host_bucket``, serialized as a numpy uint16 blob in the
+``filters`` table.  Semantics: ``contains`` may return false positives but
+never false negatives, so the engine uses it only to *split* candidates —
+"definitely new" URLs skip the exact anti-join entirely; "maybe seen" URLs
+go through the sort-merge anti-join against ``url_seen``, which remains the
+ground truth (SURVEY.md §2.2 P10).  The per-bucket blob is snapshotted each
+epoch with an md5 fingerprint in the manifest (lineage per north_rule).
+
+Pure numpy, vectorizable inside applyInPandas; no per-row Python on lookup.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SLOTS_PER_BUCKET = 4
+MAX_KICKS = 200
+EMPTY = 0  # fingerprints are 1..65535; 0 marks an empty slot
+
+
+class CuckooFilter:
+    def __init__(self, n_buckets: int = 1 << 12, table: np.ndarray | None = None):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+        self.n_buckets = n_buckets
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((n_buckets, SLOTS_PER_BUCKET), dtype=np.uint16)
+        )
+
+    # --- derivations from the 64-bit url_hash (signed, from xxhash64) -----
+    @staticmethod
+    def _fingerprint(h: np.ndarray) -> np.ndarray:
+        fp = ((h >> 48) & 0xFFFF).astype(np.uint16)
+        fp[fp == EMPTY] = 1  # reserve 0 for empty
+        return fp
+
+    def _index1(self, h: np.ndarray) -> np.ndarray:
+        return (h & (self.n_buckets - 1)).astype(np.int64)
+
+    def _index2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # standard partial-key cuckoo: i2 = i1 xor hash(fp)
+        fph = (fp.astype(np.int64) * 0x5BD1E995) & (self.n_buckets - 1)
+        return i1 ^ fph
+
+    def insert_many(self, hashes) -> int:
+        """Insert url_hashes (int64 array); returns number failed (filter
+        full — callers fall back to the exact join, correctness unaffected)."""
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64).astype(np.int64)
+        fps = self._fingerprint(h)
+        i1s = self._index1(h)
+        failed = 0
+        t = self.table
+        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
+            i2 = int(self._index2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+            if fp in t[i1] or fp in t[i2]:
+                continue  # already present (or colliding) — fine for a filter
+            placed = False
+            for idx in (i1, i2):
+                empty = np.where(t[idx] == EMPTY)[0]
+                if len(empty):
+                    t[idx][empty[0]] = fp
+                    placed = True
+                    break
+            if placed:
+                continue
+            # kick loop
+            cur_i, cur_fp = i1, fp
+            rng_state = cur_fp
+            for _ in range(MAX_KICKS):
+                rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+                slot = rng_state % SLOTS_PER_BUCKET
+                cur_fp, t[cur_i][slot] = int(t[cur_i][slot]), cur_fp
+                cur_i = int(
+                    self._index2(
+                        np.array([cur_i]), np.array([cur_fp], dtype=np.uint16)
+                    )[0]
+                )
+                empty = np.where(t[cur_i] == EMPTY)[0]
+                if len(empty):
+                    t[cur_i][empty[0]] = cur_fp
+                    break
+            else:
+                failed += 1
+        return failed
+
+    def contains_many(self, hashes) -> np.ndarray:
+        """Vectorized membership: bool array, True = maybe seen."""
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64).astype(np.int64)
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        fps = self._fingerprint(h)
+        i1 = self._index1(h)
+        i2 = self._index2(i1, fps)
+        fcol = fps[:, None]
+        return ((self.table[i1] == fcol) | (self.table[i2] == fcol)).any(axis=1)
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, n_buckets: int = 1 << 12) -> "CuckooFilter":
+        table = np.frombuffer(blob, dtype=np.uint16).reshape(
+            n_buckets, SLOTS_PER_BUCKET
+        ).copy()
+        return cls(n_buckets, table)

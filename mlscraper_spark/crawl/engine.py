@@ -1,0 +1,449 @@
+"""The distributed crawl engine: epoch-synchronous BSP loop on DataFrames.
+
+New build per BASELINE.json north_rule — frontier + fetch scheduler with
+politeness token buckets, robots cache, partitioned cuckoo URL-seen filter,
+priority-queue semantics — matching the sequential oracle (crawl/oracle.py)
+bit-for-bit on fetch order and the final URL-seen set.
+
+Design (SURVEY.md §7.4):
+
+* **State lives in epoch snapshots on disk** (parquet dirs with a JSON
+  manifest — the Iceberg-snapshot pattern with a format-pluggable fallback).
+  Each epoch reads only the previous snapshot, so kill-and-resume is free
+  and exact (tested).
+* **Politeness** (T6): per-host budget enforced by a window top-k under the
+  total order (priority DESC, url_hash ASC, url_canon ASC).
+* **Global fetch order**: the same total order across all selected URLs;
+  ``seq`` via row_number.  The global window is a single-partition sort of
+  ≤ (hosts × budget) rows per epoch — bounded by the politeness budget, not
+  by frontier size; at cluster scale swap for sort + zipWithIndex.
+* **URL-seen** (P10): per-host_bucket cuckoo filters split candidates into
+  "definitely new" (skip the join) and "maybe seen" (exact anti-join
+  against url_seen — the ground truth, so filter false positives cost time,
+  never correctness).
+* **Skew**: everything keyed by ``host_bucket = pmod(xxhash64(host), NB)``;
+  AQE skew-join handles residual imbalance.
+* **Frontier merge**: per URL keep (MIN depth, MIN discovered_epoch) —
+  associative and commutative, so any partitioning yields the oracle's
+  result.
+
+No per-row Python on the hot paths: hashing/bucketing/priority/ordering are
+JVM expressions; canonicalize + fetch + parse run in Arrow-batched UDFs.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mlscraper_spark.crawl.synthweb import WebConfig
+
+FRONTIER_SCHEMA = (
+    "url_canon string, url_hash long, host string, host_bucket int, "
+    "priority double, depth int, discovered_epoch int"
+)
+SEEN_SCHEMA = "url_canon string, url_hash long, host_bucket int, seen_epoch int"
+FETCHLOG_SCHEMA = (
+    "epoch int, seq int, url_canon string, host string, status int, "
+    "n_links int, n_images int"
+)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    budget_per_host: int = 2
+    n_buckets: int = 8
+    filter_buckets: int = 1 << 12  # cuckoo table size per host_bucket
+
+
+def _snap_dir(root: str, epoch: int) -> str:
+    # snapshot AFTER epoch e; e = -1 is the seeded initial state
+    return os.path.join(root, f"snap_{epoch + 1:05d}")
+
+
+def _manifest_path(root: str, epoch: int) -> str:
+    return os.path.join(_snap_dir(root, epoch), "_manifest.json")
+
+
+def last_complete_epoch(root: str) -> int | None:
+    """Largest epoch with a complete snapshot, or None (no seed yet)."""
+    best = None
+    if not os.path.isdir(root):
+        return None
+    for name in os.listdir(root):
+        if name.startswith("snap_"):
+            e = int(name.split("_")[1]) - 1
+            if os.path.exists(_manifest_path(root, e)):
+                best = e if best is None else max(best, e)
+    return best
+
+
+def _with_host_bucket(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    return df.withColumn(
+        "host_bucket", F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)).cast("int")
+    )
+
+
+def _canonicalize_udf(raw_col: str):
+    """Arrow-batched canonicalization (F11): raw href → (url_canon, host, path)."""
+
+    @F.pandas_udf("struct<url_canon:string,host:string,path:string>")
+    def _canon(raw: pd.Series) -> pd.DataFrame:
+        from urllib.parse import urlsplit
+
+        from mlscraper_spark.crawl.urlnorm import canonicalize
+
+        canons = raw.map(canonicalize)
+        return pd.DataFrame(
+            {
+                "url_canon": canons,
+                "host": canons.map(lambda c: urlsplit(c).netloc),
+                "path": canons.map(lambda c: urlsplit(c).path),
+            }
+        )
+
+    return _canon(F.col(raw_col))
+
+
+def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
+               cfg: CrawlConfig) -> None:
+    """Write the epoch=-1 snapshot: seeded frontier, empty everything else."""
+    raw = spark.createDataFrame([(s,) for s in seeds], "raw string")
+    c = raw.select(_canonicalize_udf("raw").alias("c")).select("c.*")
+    frontier = (
+        _with_host_bucket(c, cfg)
+        .withColumn("url_hash", F.xxhash64("url_canon"))
+        .withColumn("depth", F.lit(0))
+        .withColumn("discovered_epoch", F.lit(0))
+        .withColumn("priority", F.lit(1.0) / (1.0 + F.col("depth")))
+    )
+    robots = _robots_rules_df(spark, frontier.select("host").distinct(), 0, web)
+    frontier = _filter_robots(frontier, robots).select(
+        "url_canon", "url_hash", "host", "host_bucket",
+        "priority", "depth", "discovered_epoch",
+    ).dropDuplicates(["url_canon"])
+
+    d = _snap_dir(root, -1)
+    frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+    spark.createDataFrame([], SEEN_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(d, "url_seen_delta")
+    )
+    robots.write.mode("overwrite").parquet(os.path.join(d, "robots_cache"))
+    spark.createDataFrame(
+        [], "host_bucket int, blob binary"
+    ).write.mode("overwrite").parquet(os.path.join(d, "filters"))
+    with open(_manifest_path(root, -1), "w") as f:
+        json.dump({"epoch": -1, "seeds": len(seeds)}, f)
+
+
+def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
+                     web: WebConfig) -> DataFrame:
+    """S6/J8 robots cache rows for the given hosts (rules are a pure
+    function of host — the 'fetch' of robots.txt in the synthetic web)."""
+
+    def _rules(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "rules_json": pdf["host"].map(
+                        lambda h: json.dumps(web.robots_disallow(h))
+                    ),
+                    "fetched_epoch": epoch,
+                }
+            )
+
+    return hosts_df.select("host").distinct().mapInPandas(
+        _rules, "host string, rules_json string, fetched_epoch int"
+    )
+
+
+def _filter_robots(df: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop rows whose path matches a disallow prefix (broadcast join J8)."""
+    with_path = df.withColumn(
+        "path", F.parse_url(F.col("url_canon"), F.lit("PATH"))
+    )
+    joined = with_path.join(F.broadcast(robots.select("host", "rules_json")), "host", "left")
+    rules = F.from_json(F.coalesce(F.col("rules_json"), F.lit("[]")), "array<string>")
+    blocked = F.exists(rules, lambda p: F.col("path").startswith(p))
+    return joined.filter(~blocked).drop("path", "rules_json")
+
+
+def _fetch_udf(web: WebConfig):
+    out_schema = T.StructType(
+        [
+            T.StructField("url_canon", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("host_bucket", T.IntegerType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("n_links", T.IntegerType()),
+            T.StructField("n_images", T.IntegerType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mlscraper_spark.crawl.synthweb import extract_images, extract_links, fetch
+
+        for pdf in batches:
+            rows = []
+            for url, host, hb, seq, depth in zip(
+                pdf["url_canon"], pdf["host"], pdf["host_bucket"], pdf["seq"],
+                pdf["depth"],
+            ):
+                status, html = fetch(url, web)
+                links = extract_links(html) if status == 200 else []
+                n_images = len(extract_images(html)) if status == 200 else 0
+                rows.append(
+                    (url, host, int(hb), int(seq), int(depth), status,
+                     len(links), n_images, links)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return _fetch, out_schema
+
+
+def _split_by_filter(cand: DataFrame, filters: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Cuckoo fast path: adds ``maybe_seen`` (False ⇒ definitely new)."""
+    cols = cand.columns
+    out_schema = ", ".join(f"{c} {t}" for c, t in cand.dtypes) + ", maybe_seen boolean"
+
+    def _check(key, cand_pdfs, filter_pdfs):
+        import numpy as np
+
+        from mlscraper_spark.crawl.cuckoo import CuckooFilter
+
+        cand_pdf = cand_pdfs
+        blob_rows = filter_pdfs
+        if len(blob_rows) and blob_rows["blob"].iloc[0] is not None:
+            flt = CuckooFilter.from_bytes(
+                bytes(blob_rows["blob"].iloc[0]), cfg.filter_buckets
+            )
+            maybe = flt.contains_many(cand_pdf["url_hash"].to_numpy(np.int64))
+        else:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        cand_pdf = cand_pdf.copy()
+        cand_pdf["maybe_seen"] = maybe
+        return cand_pdf
+
+    return cand.groupBy("host_bucket").cogroup(
+        filters.groupBy("host_bucket")
+    ).applyInPandas(_check, out_schema)
+
+
+def _update_filters(filters: DataFrame, new_hashes: DataFrame,
+                    cfg: CrawlConfig) -> DataFrame:
+    """Insert this epoch's fetched url_hashes into each bucket's filter."""
+
+    def _upd(key, blob_pdf, hash_pdf):
+        import numpy as np
+
+        from mlscraper_spark.crawl.cuckoo import CuckooFilter
+
+        if len(blob_pdf) and blob_pdf["blob"].iloc[0] is not None:
+            flt = CuckooFilter.from_bytes(
+                bytes(blob_pdf["blob"].iloc[0]), cfg.filter_buckets
+            )
+        else:
+            flt = CuckooFilter(cfg.filter_buckets)
+        if len(hash_pdf):
+            flt.insert_many(hash_pdf["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame({"host_bucket": [int(key[0])], "blob": [flt.to_bytes()]})
+
+    return filters.groupBy("host_bucket").cogroup(
+        new_hashes.select("host_bucket", "url_hash").groupBy("host_bucket")
+    ).applyInPandas(_upd, "host_bucket int, blob binary")
+
+
+def read_url_seen(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
+    """Union of the append-only url_seen deltas (Iceberg-snapshot shape)."""
+    paths = [
+        os.path.join(_snap_dir(root, e), "url_seen_delta")
+        for e in range(-1, upto_epoch + 1)
+    ]
+    return spark.read.schema(SEEN_SCHEMA).parquet(*paths)
+
+
+def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
+              cfg: CrawlConfig) -> int:
+    """Run one BSP epoch; returns number of URLs fetched."""
+    prev = _snap_dir(root, epoch - 1)
+    frontier = spark.read.parquet(os.path.join(prev, "frontier"))
+    robots = spark.read.parquet(os.path.join(prev, "robots_cache"))
+    filters = spark.read.parquet(os.path.join(prev, "filters"))
+    url_seen = read_url_seen(spark, root, epoch - 1)
+
+    # ---- politeness top-k (T6) + global fetch order --------------------
+    order = [F.desc("priority"), F.asc("url_hash"), F.asc("url_canon")]
+    w_host = Window.partitionBy("host").orderBy(*order)
+    selected = (
+        frontier.withColumn("rn", F.row_number().over(w_host))
+        .filter(F.col("rn") <= cfg.budget_per_host)
+        .drop("rn")
+    )
+    # bounded by hosts × budget; a single-partition sort is fine here and
+    # deterministic — swap for sort+zipWithIndex at cluster scale
+    w_glob = Window.orderBy(*order)
+    selected = selected.withColumn(
+        "seq", (F.row_number().over(w_glob) - 1).cast("int")
+    ).cache()
+    n_selected = selected.count()
+    if n_selected == 0:
+        _write_empty_epoch(spark, root, epoch, frontier, robots, filters)
+        return 0
+
+    # ---- fetch + parse (S4, Arrow-batched, partitioned by host bucket) --
+    fetch_fn, fetch_schema = _fetch_udf(web)
+    fetched = (
+        selected.select("url_canon", "host", "host_bucket", "seq", "depth")
+        .repartition("host_bucket")
+        .mapInPandas(fetch_fn, fetch_schema)
+        .cache()
+    )
+
+    fetch_log = fetched.select(
+        F.lit(epoch).alias("epoch"), "seq", "url_canon", "host",
+        "status", "n_links", "n_images",
+    )
+
+    # ---- discoveries: canonicalize, robots-filter, merge (F11/J8) ------
+    raw_links = fetched.select("depth", F.explode("links").alias("raw"))
+    disc = raw_links.select(
+        (F.col("depth") + 1).alias("depth"), _canonicalize_udf("raw").alias("c")
+    ).select("depth", "c.url_canon", "c.host")
+    robots_new = _robots_rules_df(
+        spark,
+        disc.select("host").join(robots.select("host"), "host", "left_anti"),
+        epoch + 1,
+        web,
+    )
+    robots_all = robots.unionByName(robots_new)
+    disc = _filter_robots(disc, robots_all)
+    disc = _with_host_bucket(disc, cfg).withColumn(
+        "url_hash", F.xxhash64("url_canon")
+    ).withColumn("discovered_epoch", F.lit(epoch + 1))
+
+    # ---- url_seen delta + cuckoo update (P10/E5) ------------------------
+    seen_delta = selected.select(
+        "url_canon", "url_hash", "host_bucket", F.lit(epoch).alias("seen_epoch")
+    )
+    url_seen_all = url_seen.unionByName(seen_delta)
+    filters_new = _update_filters(filters, seen_delta, cfg)
+
+    # ---- frontier merge: (old ∖ fetched) ∪ discoveries, min-rules -------
+    cand = (
+        frontier.select(
+            "url_canon", "url_hash", "host", "host_bucket", "depth",
+            "discovered_epoch",
+        )
+        .unionByName(
+            disc.select(
+                "url_canon", "url_hash", "host", "host_bucket", "depth",
+                "discovered_epoch",
+            )
+        )
+        .groupBy("url_canon")
+        .agg(
+            F.first("url_hash").alias("url_hash"),
+            F.first("host").alias("host"),
+            F.first("host_bucket").alias("host_bucket"),
+            F.min("depth").alias("depth"),
+            F.min("discovered_epoch").alias("discovered_epoch"),
+        )
+    )
+    flagged = _split_by_filter(cand, filters_new, cfg)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survived = maybe.join(
+        url_seen_all.select("url_canon"), "url_canon", "left_anti"
+    )
+    frontier_next = definitely_new.unionByName(survived).withColumn(
+        "priority", F.lit(1.0) / (1.0 + F.col("depth"))
+    ).select(
+        "url_canon", "url_hash", "host", "host_bucket", "priority", "depth",
+        "discovered_epoch",
+    )
+
+    # ---- metrics (A8) ----------------------------------------------------
+    metrics = fetched.groupBy("host_bucket").agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum("n_links").alias("n_links"),
+        F.sum("n_images").alias("n_images"),
+    ).withColumn("epoch", F.lit(epoch))
+
+    # ---- snapshot --------------------------------------------------------
+    d = _snap_dir(root, epoch)
+    frontier_next.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+    seen_delta.write.mode("overwrite").parquet(os.path.join(d, "url_seen_delta"))
+    fetch_log.write.mode("overwrite").parquet(os.path.join(d, "fetch_log"))
+    robots_all.write.mode("overwrite").parquet(os.path.join(d, "robots_cache"))
+    filters_new.write.mode("overwrite").parquet(os.path.join(d, "filters"))
+    metrics.write.mode("overwrite").parquet(os.path.join(d, "metrics"))
+
+    fingerprints = {
+        str(r.host_bucket): hashlib.md5(bytes(r.blob)).hexdigest()
+        for r in spark.read.parquet(os.path.join(d, "filters")).collect()
+    }
+    with open(_manifest_path(root, epoch), "w") as f:
+        json.dump(
+            {
+                "epoch": epoch,
+                "n_fetched": n_selected,
+                "filter_fingerprints": fingerprints,
+            },
+            f,
+        )
+    selected.unpersist()
+    fetched.unpersist()
+    return n_selected
+
+
+def _write_empty_epoch(spark, root, epoch, frontier, robots, filters):
+    d = _snap_dir(root, epoch)
+    frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+    spark.createDataFrame([], SEEN_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(d, "url_seen_delta")
+    )
+    spark.createDataFrame([], FETCHLOG_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(d, "fetch_log")
+    )
+    robots.write.mode("overwrite").parquet(os.path.join(d, "robots_cache"))
+    filters.write.mode("overwrite").parquet(os.path.join(d, "filters"))
+    with open(_manifest_path(root, epoch), "w") as f:
+        json.dump({"epoch": epoch, "n_fetched": 0}, f)
+
+
+def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
+              cfg: CrawlConfig, max_epochs: int) -> None:
+    """Run (or resume) a crawl up to max_epochs.  Resume is automatic: the
+    loop starts after the last complete snapshot, so a killed run continues
+    exactly where it stopped (tested identical to an uninterrupted run)."""
+    last = last_complete_epoch(root)
+    if last is None:
+        seed_crawl(spark, root, seeds, web, cfg)
+        last = -1
+    for epoch in range(last + 1, max_epochs):
+        n = run_epoch(spark, root, epoch, web, cfg)
+        if n == 0:
+            break
+
+
+def read_fetch_log(spark: SparkSession, root: str) -> DataFrame:
+    last = last_complete_epoch(root)
+    paths = [
+        p
+        for e in range(0, (last or 0) + 1)
+        if os.path.isdir(p := os.path.join(_snap_dir(root, e), "fetch_log"))
+    ]
+    return spark.read.schema(FETCHLOG_SCHEMA).parquet(*paths)

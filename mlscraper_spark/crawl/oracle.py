@@ -1,0 +1,109 @@
+"""Sequential oracle crawler — the executable spec (SURVEY.md §7.4).
+
+Plain single-threaded Python.  The distributed Spark engine
+(crawl/engine.py) must match this oracle *bit-for-bit* on (a) the fetch log
+ordered by (epoch, seq) and (b) the final URL-seen set, under the same seed
+list + politeness budget (BASELINE.json north_rule).
+
+Epoch semantics (BSP):
+  1. candidates = current frontier (never contains seen or robots-blocked
+     URLs by construction);
+  2. politeness: per host, take the ``budget_per_host`` best candidates by
+     (priority DESC, url_hash ASC, url_canon ASC);
+  3. global fetch order: all selected, sorted by the same total order;
+     ``seq`` is the position in that order;
+  4. fetch (pure function), extract links, canonicalize; discoveries enter
+     the *next* epoch's frontier;
+  5. frontier merge rule: per URL keep MIN depth, then MIN discovered epoch
+     (associative — safe under any partitioning);
+  6. priority = 1 / (1 + depth).
+
+Robots: rules are a pure function of host, cached on first sight; blocked
+URLs never enter the frontier.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from mlscraper_spark.crawl.synthweb import WebConfig, extract_images, extract_links, fetch
+from mlscraper_spark.crawl.urlnorm import canonicalize, host_of, url_hash
+
+
+def priority_of(depth: int) -> float:
+    return 1.0 / (1.0 + depth)
+
+
+@dataclass
+class OracleState:
+    frontier: dict = field(default_factory=dict)  # url_canon -> (depth, epoch)
+    url_seen: set = field(default_factory=set)  # url_canon
+    fetch_log: list = field(default_factory=list)
+    robots_cache: dict = field(default_factory=dict)  # host -> (rules, epoch)
+
+
+def _robots_blocked(url_canon: str, host: str, epoch: int, state: OracleState,
+                    cfg: WebConfig) -> bool:
+    if host not in state.robots_cache:
+        state.robots_cache[host] = (cfg.robots_disallow(host), epoch)
+    rules, _ = state.robots_cache[host]
+    from urllib.parse import urlsplit
+
+    path = urlsplit(url_canon).path
+    return any(path.startswith(prefix) for prefix in rules)
+
+
+def _insert(state: OracleState, url_canon: str, depth: int, epoch: int,
+            cfg: WebConfig) -> None:
+    if url_canon in state.url_seen:
+        return
+    host = host_of(url_canon)
+    if _robots_blocked(url_canon, host, epoch, state, cfg):
+        return
+    old = state.frontier.get(url_canon)
+    if old is None:
+        state.frontier[url_canon] = (depth, epoch)
+    else:
+        state.frontier[url_canon] = (min(old[0], depth), min(old[1], epoch))
+
+
+def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
+                 max_epochs: int) -> OracleState:
+    state = OracleState()
+    for s in seeds:
+        _insert(state, canonicalize(s), 0, 0, cfg)
+
+    for epoch in range(max_epochs):
+        if not state.frontier:
+            break
+        # per-host politeness top-k under the shared total order
+        by_host: dict[str, list] = {}
+        for url, (depth, disc) in state.frontier.items():
+            by_host.setdefault(host_of(url), []).append(
+                (-priority_of(depth), url_hash(url), url, depth)
+            )
+        selected = []
+        for host, entries in by_host.items():
+            entries.sort()
+            selected.extend(entries[:budget_per_host])
+        selected.sort()  # global fetch order
+
+        for seq, (negp, uhash, url, depth) in enumerate(selected):
+            status, html = fetch(url, cfg)
+            links = extract_links(html) if status == 200 else []
+            n_images = len(extract_images(html)) if status == 200 else 0
+            state.fetch_log.append(
+                {
+                    "epoch": epoch,
+                    "seq": seq,
+                    "url_canon": url,
+                    "host": host_of(url),
+                    "status": status,
+                    "n_links": len(links),
+                    "n_images": n_images,
+                }
+            )
+            state.url_seen.add(url)
+            del state.frontier[url]
+            for raw in links:
+                _insert(state, canonicalize(raw), depth + 1, epoch + 1, cfg)
+    return state

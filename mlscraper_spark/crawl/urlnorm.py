@@ -1,0 +1,117 @@
+"""F11 — URL canonicalization + hashing (new build, SURVEY.md §2.7).
+
+The canonical form and the 64-bit hash are the *identity* of a URL in every
+crawl table; the sequential oracle (plain Python) and the Spark engine must
+agree bit-for-bit, so the hash here is a pure-Python implementation of
+XXH64 that matches Spark's ``F.xxhash64(col)`` (seed 42) exactly — the
+engine uses the JVM-native expression on the hot path and this
+implementation only in the oracle and in tests.
+"""
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urlsplit
+
+_MASK = (1 << 64) - 1
+_PRIME1 = 0x9E3779B185EBCA87
+_PRIME2 = 0xC2B2AE3D27D4EB4F
+_PRIME3 = 0x165667B19E3779F9
+_PRIME4 = 0x85EBCA77C2B2AE63
+_PRIME5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _PRIME2) & _MASK
+    acc = _rotl(acc, 31)
+    return (acc * _PRIME1) & _MASK
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _PRIME1 + _PRIME4) & _MASK
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """XXH64, returned as a *signed* 64-bit int to match Spark's LongType.
+
+    Default seed 42 matches Spark's XxHash64 expression default.
+    """
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _PRIME1 + _PRIME2) & _MASK
+        v2 = (seed + _PRIME2) & _MASK
+        v3 = seed
+        v4 = (seed - _PRIME1) & _MASK
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _PRIME5) & _MASK
+    h = (h + n) & _MASK
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _PRIME1 + _PRIME4) & _MASK
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _PRIME1) & _MASK
+        h = (_rotl(h, 23) * _PRIME2 + _PRIME3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _PRIME5) & _MASK
+        h = (_rotl(h, 11) * _PRIME1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _PRIME2) & _MASK
+    h ^= h >> 29
+    h = (h * _PRIME3) & _MASK
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def canonicalize(url: str) -> str:
+    """Deterministic canonical URL form (the engine's F11):
+
+    - scheme + host lowercased, default ports stripped
+    - fragment stripped
+    - query parameters sorted by (key, value)
+    - empty path → '/'
+    - trailing slash preserved (distinct resources)
+    """
+    parts = urlsplit(url.strip())
+    scheme = (parts.scheme or "http").lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    if port and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        host = f"{host}:{port}"
+    path = parts.path or "/"
+    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    return f"{scheme}://{host}{path}" + (f"?{query}" if query else "")
+
+
+def url_hash(url_canon: str) -> int:
+    """Signed-64 xxhash64 of the canonical URL — equals
+    ``F.xxhash64(url_canon)`` in Spark."""
+    return xxhash64(url_canon.encode("utf-8"))
+
+
+def host_of(url_canon: str) -> str:
+    return urlsplit(url_canon).netloc
+
+
+def host_bucket(host: str, n_buckets: int) -> int:
+    """Equals ``F.pmod(F.xxhash64(host), n_buckets)`` in Spark."""
+    return xxhash64(host.encode("utf-8")) % n_buckets
