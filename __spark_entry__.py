@@ -15,11 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: synthesize HTML pages from sf0.001 documents, apply a
-    trained-shape scraper plan distributedly, return extracted rows."""
-    from mlscraper_spark.queries import q23_extract_scraper
+    """Flagship query — the graft's hot path: HTML pages flow through
+    Arrow UDFs emitting (image_id, bytes→n_bytes, w, h, fmt, caption, phash)
+    image rows (BASELINE.json input_hint), at sf0.001."""
+    from pyspark.sql import functions as F
 
-    return q23_extract_scraper(spark, "/root/testdata/sf0.001")
+    from mlscraper_spark.images.ops import extract_images_table
+    from mlscraper_spark.queries import _doc_image_pages
+
+    images = extract_images_table(_doc_image_pages(spark, "/root/testdata/sf0.001"))
+    return images.select(
+        "image_id", "w", "h", "fmt", "caption", "phash",
+        F.length("bytes").alias("n_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

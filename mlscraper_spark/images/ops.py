@@ -1,0 +1,95 @@
+"""Image-payload operators: crawl pages → the input_hint images table.
+
+The hot path of the graft (BASELINE.json north_star): fetched pages flow
+through Arrow UDFs that apply extraction and emit
+``(image_id, bytes, w, h, fmt, caption, phash)`` rows.  Embarrassingly
+parallel — one ``mapInPandas`` stage, no shuffle; the w/h columns come from
+the img attributes (dedicated columns, never value-matched — the dimensions
+filter P4 exists precisely for this, matches.py:227-234).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def extract_images_table(pages_df: DataFrame, page_id_col: str = "url_canon",
+                         html_col: str = "html") -> DataFrame:
+    """Pages (id, html) → images rows per input_hint.
+
+    For each <img>: image_id = src path; pixels are materialized via the
+    deterministic synthetic store (make_image — the stand-in for the binary
+    fetch), encoded ppm (lossless) or dctq (lossy, alternating
+    deterministically), phash computed from the *decoded* pixels.
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mlscraper_spark.crawl.synthweb import extract_images
+        from mlscraper_spark.crawl.urlnorm import xxhash64
+        from mlscraper_spark.images.codec import decode, encode, make_image, phash
+
+        for pdf in batches:
+            rows = []
+            for pid, html in zip(pdf[page_id_col], pdf[html_col]):
+                for im in extract_images(bytes(html)):
+                    image_id = im["src"]
+                    w, h = im["w"], im["h"]
+                    fmt = "ppm" if xxhash64(image_id.encode()) % 2 == 0 else "dctq"
+                    img = make_image(image_id, w, h)
+                    blob = encode(img, fmt)
+                    ph = phash(decode(blob, fmt))
+                    rows.append((image_id, blob, w, h, fmt, im["caption"], ph))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGES_SCHEMA.fields]
+            )
+
+    return pages_df.select(page_id_col, html_col).mapInPandas(_run, IMAGES_SCHEMA)
+
+
+def image_features(images_df: DataFrame) -> DataFrame:
+    """Decode + feature-extract (multimodal column pattern): binary blobs →
+    typed features, Arrow-batched.  The shape real pipelines use for
+    embedding/classification stages."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("mean_lum", T.DoubleType(), True),
+            T.StructField("phash_check", T.LongType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mlscraper_spark.images.codec import decode, phash
+
+        for pdf in batches:
+            rows = []
+            for image_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    img = decode(bytes(blob), fmt)
+                    lum = float(
+                        np.mean(img.astype(np.float64) @ np.array([0.299, 0.587, 0.114]))
+                    )
+                    rows.append((image_id, round(lum, 4), phash(img), True))
+                except NotImplementedError:
+                    rows.append((image_id, None, None, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return images_df.select("image_id", "bytes", "fmt").mapInPandas(_run, schema)

@@ -722,6 +722,64 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def _doc_image_pages(spark, sf_dir):
+    """Pages with a captioned <img> per document — the image-payload path
+    over driver testdata (w/h derived from n_chars so the oracle can
+    predict them)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (16 + (F.col("n_chars") % 8) * 16).cast("int")
+    h = (16 + (F.col("n_chars") % 5) * 16).cast("int")
+    caption = F.concat(
+        F.lit("figure for doc "), F.col("doc_id").cast("string"),
+        F.lit(" from "), F.col("source"),
+    )
+    html = F.concat(
+        F.lit('<html><body><figure><img src="img/'),
+        F.col("doc_id").cast("string"),
+        F.lit('" alt="'), caption,
+        F.lit('" width="'), w.cast("string"),
+        F.lit('" height="'), h.cast("string"),
+        F.lit('"><figcaption class="caption">'), caption,
+        F.lit("</figcaption></figure><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url_canon"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def q25_images_meta(spark, sf_dir):
+    """Image-payload extraction (input_hint shape): pages → captioned image
+    rows; metadata columns are oracle-checkable."""
+    from mlscraper_spark.images.ops import extract_images_table
+
+    images = extract_images_table(_doc_image_pages(spark, sf_dir))
+    return images.select("image_id", "w", "h", "caption")
+
+
+Q25_SQL = """
+SELECT 'img/' || doc_id::varchar AS image_id,
+       (16 + (n_chars % 8) * 16)::int AS w,
+       (16 + (n_chars % 5) * 16)::int AS h,
+       'figure for doc ' || doc_id::varchar || ' from ' || source AS caption
+FROM documents
+"""
+
+
+def q26_image_phash(spark, sf_dir):
+    """Full image rows incl. bytes/fmt/phash — binary payload + perceptual
+    hash are not SQL-expressible, so this entry has no oracle (the driver
+    records the weaker rows-only check); pixel/caption invariants are
+    asserted in tests/test_images.py."""
+    from mlscraper_spark.images.ops import extract_images_table
+
+    images = extract_images_table(_doc_image_pages(spark, sf_dir))
+    return images.select(
+        "image_id", "fmt", "phash", F.length("bytes").alias("n_bytes")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -751,6 +809,8 @@ QUERIES: dict[str, Callable] = {
     "q22_ann_lsh": q22_ann_lsh,
     "q23_extract_scraper": q23_extract_scraper,
     "q24_match_scan": q24_match_scan,
+    "q25_images_meta": q25_images_meta,
+    "q26_image_phash": q26_image_phash,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -778,4 +838,6 @@ ORACLE_SQL: dict[str, str] = {
     "q22_ann_lsh": Q22_SQL,
     "q23_extract_scraper": Q23_SQL,
     "q24_match_scan": Q24_SQL,
+    "q25_images_meta": Q25_SQL,
+    # q26_image_phash intentionally has no oracle: binary payload + phash
 }
