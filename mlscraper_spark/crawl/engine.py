@@ -61,6 +61,9 @@ class CrawlConfig:
     budget_per_host: int = 2
     n_buckets: int = 8
     filter_buckets: int = 1 << 12  # cuckoo table size per host_bucket
+    fetch_partitions: int = 128  # fetch-stage parallelism (independent of
+    # n_buckets: politeness is enforced before the fetch, so any even
+    # partitioning is sound; url_hash keying spreads heavy hosts)
 
 
 def _snap_dir(root: str, epoch: int) -> str:
@@ -135,7 +138,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     spark.createDataFrame([], SEEN_SCHEMA).write.mode("overwrite").parquet(
         os.path.join(d, "url_seen_delta")
     )
-    robots.write.mode("overwrite").parquet(os.path.join(d, "robots_cache"))
+    robots.write.mode("overwrite").parquet(os.path.join(d, "robots_delta"))
     spark.createDataFrame(
         [], "host_bucket int, blob binary"
     ).write.mode("overwrite").parquet(os.path.join(d, "filters"))
@@ -275,12 +278,70 @@ def read_url_seen(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
     return spark.read.schema(SEEN_SCHEMA).parquet(*paths)
 
 
+ROBOTS_SCHEMA = "host string, rules_json string, fetched_epoch int"
+
+
+def read_robots(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
+    """Union of the append-only robots deltas (one row per first-seen host)."""
+    paths = [
+        p
+        for e in range(-1, upto_epoch + 1)
+        if os.path.isdir(p := os.path.join(_snap_dir(root, e), "robots_delta"))
+    ]
+    return spark.read.schema(ROBOTS_SCHEMA).parquet(*paths)
+
+
+def _assign_global_seq(spark: SparkSession, df: DataFrame, order) -> DataFrame:
+    """Deterministic global ``seq`` under a total order, without a
+    single-partition window: range-partition by the order keys, rank
+    locally, then add per-partition offsets (a tiny collected cumsum).
+    A 1M-row epoch showed the naive global row_number costing ~15s of
+    *serial* sort per epoch; this form is fully parallel and yields the
+    identical sequence (the order keys end in the unique url_canon)."""
+    p = max(2, spark.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(p, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    ranked = ranged.withColumn("_rn", F.row_number().over(w)).cache()
+    counts = dict(
+        (r._pid, r.cnt)
+        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # tiny map → literal CASE expression (broadcast-equivalent)
+    off_col = F.lit(0)
+    for pid, off in offsets.items():
+        off_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_col)
+    out = ranked.withColumn(
+        "seq", (off_col + F.col("_rn") - 1).cast("int")
+    ).drop("_pid", "_rn")
+    out._seq_ranked_cache = ranked  # released by the caller post-materialize
+    return out
+
+
+def _trace(label: str, t0: float) -> float:
+    import sys
+    import time
+
+    t = time.time()
+    if os.environ.get("SPARK_GRAFT_TRACE"):
+        print(f"[epoch-trace] {label}: {t - t0:.2f}s", file=sys.stderr)
+    return t
+
+
 def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
               cfg: CrawlConfig) -> int:
     """Run one BSP epoch; returns number of URLs fetched."""
+    import time as _time
+
+    _t = _time.time()
     prev = _snap_dir(root, epoch - 1)
     frontier = spark.read.parquet(os.path.join(prev, "frontier"))
-    robots = spark.read.parquet(os.path.join(prev, "robots_cache"))
+    robots = read_robots(spark, root, epoch - 1)
     filters = spark.read.parquet(os.path.join(prev, "filters"))
     url_seen = read_url_seen(spark, root, epoch - 1)
 
@@ -292,25 +353,28 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
         .filter(F.col("rn") <= cfg.budget_per_host)
         .drop("rn")
     )
-    # bounded by hosts × budget; a single-partition sort is fine here and
-    # deterministic — swap for sort+zipWithIndex at cluster scale
-    w_glob = Window.orderBy(*order)
-    selected = selected.withColumn(
-        "seq", (F.row_number().over(w_glob) - 1).cast("int")
-    ).cache()
+    selected = _assign_global_seq(spark, selected, order).cache()
     n_selected = selected.count()
+    selected._seq_ranked_cache.unpersist()
+    _t = _trace("select", _t)
     if n_selected == 0:
         _write_empty_epoch(spark, root, epoch, frontier, robots, filters)
         return 0
 
     # ---- fetch + parse (S4, Arrow-batched, partitioned by host bucket) --
     fetch_fn, fetch_schema = _fetch_udf(web)
+    # 4 waves per core, capped by config — partition count never changes
+    # results (politeness is enforced upstream), only task granularity
+    n_fetch = min(cfg.fetch_partitions, spark.sparkContext.defaultParallelism * 4)
     fetched = (
-        selected.select("url_canon", "host", "host_bucket", "seq", "depth")
-        .repartition("host_bucket")
+        selected.select("url_canon", "url_hash", "host", "host_bucket", "seq", "depth")
+        .repartition(n_fetch, "url_hash")
+        .drop("url_hash")
         .mapInPandas(fetch_fn, fetch_schema)
         .cache()
     )
+    fetched.count()
+    _t = _trace("fetch+parse", _t)
 
     fetch_log = fetched.select(
         F.lit(epoch).alias("epoch"), "seq", "url_canon", "host",
@@ -327,7 +391,7 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
         disc.select("host").join(robots.select("host"), "host", "left_anti"),
         epoch + 1,
         web,
-    )
+    ).cache()
     robots_all = robots.unionByName(robots_new)
     disc = _filter_robots(disc, robots_all)
     disc = _with_host_bucket(disc, cfg).withColumn(
@@ -362,7 +426,8 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
             F.min("discovered_epoch").alias("discovered_epoch"),
         )
     )
-    flagged = _split_by_filter(cand, filters_new, cfg)
+    # cache: both branches below consume the same cuckoo-cogroup output
+    flagged = _split_by_filter(cand, filters_new, cfg).cache()
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     survived = maybe.join(
@@ -375,6 +440,8 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
         "discovered_epoch",
     )
 
+    _t = _trace("plan-merge", _t)
+
     # ---- metrics (A8) ----------------------------------------------------
     metrics = fetched.groupBy("host_bucket").agg(
         F.count(F.lit(1)).alias("n_fetched"),
@@ -383,14 +450,35 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     ).withColumn("epoch", F.lit(epoch))
 
     # ---- snapshot --------------------------------------------------------
+    # independent tables written as CONCURRENT Spark jobs (thread pool);
+    # the manifest below is the atomic completion marker, written only
+    # after every table commit succeeds, so resume safety is unchanged
     d = _snap_dir(root, epoch)
-    frontier_next.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-    seen_delta.write.mode("overwrite").parquet(os.path.join(d, "url_seen_delta"))
-    fetch_log.write.mode("overwrite").parquet(os.path.join(d, "fetch_log"))
-    robots_all.write.mode("overwrite").parquet(os.path.join(d, "robots_cache"))
-    filters_new.write.mode("overwrite").parquet(os.path.join(d, "filters"))
-    metrics.write.mode("overwrite").parquet(os.path.join(d, "metrics"))
+    writes = [
+        (frontier_next, "frontier"),
+        (seen_delta, "url_seen_delta"),
+        (fetch_log, "fetch_log"),
+        (robots_new, "robots_delta"),
+        (filters_new, "filters"),
+        (metrics, "metrics"),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
 
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        futs = [
+            pool.submit(
+                lambda df, name: df.write.mode("overwrite").parquet(
+                    os.path.join(d, name)
+                ),
+                df,
+                name,
+            )
+            for df, name in writes
+        ]
+        for fut in futs:
+            fut.result()  # propagate failures before the manifest exists
+
+    _t = _trace("snapshot-writes", _t)
     fingerprints = {
         str(r.host_bucket): hashlib.md5(bytes(r.blob)).hexdigest()
         for r in spark.read.parquet(os.path.join(d, "filters")).collect()
@@ -404,8 +492,11 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
             },
             f,
         )
+    _t = _trace("manifest", _t)
     selected.unpersist()
     fetched.unpersist()
+    flagged.unpersist()
+    robots_new.unpersist()
     return n_selected
 
 
@@ -418,7 +509,9 @@ def _write_empty_epoch(spark, root, epoch, frontier, robots, filters):
     spark.createDataFrame([], FETCHLOG_SCHEMA).write.mode("overwrite").parquet(
         os.path.join(d, "fetch_log")
     )
-    robots.write.mode("overwrite").parquet(os.path.join(d, "robots_cache"))
+    spark.createDataFrame([], ROBOTS_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(d, "robots_delta")
+    )
     filters.write.mode("overwrite").parquet(os.path.join(d, "filters"))
     with open(_manifest_path(root, epoch), "w") as f:
         json.dump({"epoch": epoch, "n_fetched": 0}, f)

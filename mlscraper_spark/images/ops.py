@@ -61,6 +61,36 @@ def extract_images_table(pages_df: DataFrame, page_id_col: str = "url_canon",
     return pages_df.select(page_id_col, html_col).mapInPandas(_run, IMAGES_SCHEMA)
 
 
+def fetch_and_extract_images(urls_df: DataFrame, web, url_col: str = "url_canon") -> DataFrame:
+    """Fused fetch → parse → images stage: one Arrow UDF, so raw HTML never
+    crosses the JVM↔Python boundary and each task runs exactly one Python
+    worker (two chained mapInPandas stages would run two workers per task —
+    measured ~20% scaling loss from core oversubscription)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mlscraper_spark.crawl.synthweb import extract_images, fetch
+        from mlscraper_spark.crawl.urlnorm import xxhash64
+        from mlscraper_spark.images.codec import decode, encode, make_image, phash
+
+        for pdf in batches:
+            rows = []
+            for url in pdf[url_col]:
+                status, html = fetch(url, web)
+                if status != 200:
+                    continue
+                for im in extract_images(html):
+                    image_id = im["src"]
+                    w, h = im["w"], im["h"]
+                    fmt = "ppm" if xxhash64(image_id.encode()) % 2 == 0 else "dctq"
+                    img = make_image(image_id, w, h)
+                    blob = encode(img, fmt)
+                    ph = phash(decode(blob, fmt))
+                    rows.append((image_id, blob, w, h, fmt, im["caption"], ph))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+    return urls_df.select(url_col).mapInPandas(_run, IMAGES_SCHEMA)
+
+
 def image_features(images_df: DataFrame) -> DataFrame:
     """Decode + feature-extract (multimodal column pattern): binary blobs →
     typed features, Arrow-batched.  The shape real pipelines use for
