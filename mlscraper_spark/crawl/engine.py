@@ -518,10 +518,22 @@ def _write_empty_epoch(spark, root, epoch, frontier, robots, filters):
 
 
 def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
-              cfg: CrawlConfig, max_epochs: int) -> None:
+              cfg: CrawlConfig, max_epochs: int,
+              scraper_plan: dict | None = None,
+              emit_images: bool = False) -> None:
     """Run (or resume) a crawl up to max_epochs.  Resume is automatic: the
     loop starts after the last complete snapshot, so a killed run continues
-    exactly where it stopped (tested identical to an uninterrupted run)."""
+    exactly where it stopped (tested identical to an uninterrupted run).
+
+    Optional per-epoch extraction stages (the north-star payload path —
+    fetch is a pure function of the URL, so these stages refetch rather
+    than persisting raw HTML in snapshots):
+
+    * ``scraper_plan``: apply a trained plan to every page fetched this
+      epoch → ``extractions`` table (url_canon, value_json);
+    * ``emit_images``: emit the input_hint images table
+      (image_id, bytes, w, h, fmt, caption, phash) per epoch.
+    """
     last = last_complete_epoch(root)
     if last is None:
         seed_crawl(spark, root, seeds, web, cfg)
@@ -530,6 +542,50 @@ def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
         n = run_epoch(spark, root, epoch, web, cfg)
         if n == 0:
             break
+        if n and (scraper_plan or emit_images):
+            _run_payload_stages(spark, root, epoch, web, scraper_plan,
+                                emit_images)
+
+
+def _run_payload_stages(spark: SparkSession, root: str, epoch: int,
+                        web: WebConfig, scraper_plan: dict | None,
+                        emit_images: bool) -> None:
+    d = _snap_dir(root, epoch)
+    urls = spark.read.parquet(os.path.join(d, "fetch_log")).filter(
+        F.col("status") == 200
+    ).select("url_canon")
+    if scraper_plan:
+        from mlscraper_spark.operators.extract import extract_from_urls
+
+        extract_from_urls(urls, scraper_plan, web).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "extractions"))
+    if emit_images:
+        from mlscraper_spark.images.ops import fetch_and_extract_images
+
+        fetch_and_extract_images(urls, web).write.mode("overwrite").parquet(
+            os.path.join(d, "images")
+        )
+
+
+def read_images(spark: SparkSession, root: str) -> DataFrame:
+    last = last_complete_epoch(root)
+    paths = [
+        p
+        for e in range(0, (last if last is not None else -1) + 1)
+        if os.path.isdir(p := os.path.join(_snap_dir(root, e), "images"))
+    ]
+    return spark.read.parquet(*paths)
+
+
+def read_extractions(spark: SparkSession, root: str) -> DataFrame:
+    last = last_complete_epoch(root)
+    paths = [
+        p
+        for e in range(0, (last if last is not None else -1) + 1)
+        if os.path.isdir(p := os.path.join(_snap_dir(root, e), "extractions"))
+    ]
+    return spark.read.parquet(*paths)
 
 
 def read_fetch_log(spark: SparkSession, root: str) -> DataFrame:

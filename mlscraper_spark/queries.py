@@ -7,8 +7,16 @@ strategy) with an ANSI-SQL oracle that DuckDB runs on the same parquet.
 Column names/types are aligned pairwise (the driver hashes values under
 sorted column names).
 
-Numeric outputs are rounded (2dp for big sums, 4dp for ratios/cosines) in
-BOTH engines so floating summation order can't flip the value hash.
+Numeric parity policy (learned the hard way):
+
+* aggregates run in DECIMAL (exact, summation-order-independent) and cast
+  to double at the end — bit-identical in both engines;
+* per-row doubles are output RAW — same parquet bits, no arithmetic;
+* ``round()`` is avoided wherever possible: Spark rounds a double via its
+  shortest decimal representation while DuckDB rounds the true binary
+  value, so round() itself breaks parity on boundary values; it remains
+  only on cosines, where the two engines genuinely use different formulas
+  and agree to ~1e-15.
 """
 from __future__ import annotations
 
@@ -33,12 +41,20 @@ def q01_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            # decimal aggregation: exact and summation-order-independent,
+            # so the value hash can never straddle a rounding boundary
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -46,11 +62,12 @@ def q01_pricing_summary(spark, sf_dir):
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)           AS sum_qty,
-       round(sum(l_extendedprice), 2)      AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4)           AS avg_qty,
-       count(*)                            AS count_order
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE      AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum(((l_extendedprice * (1 - l_discount)))::DECIMAL(18,4))::DOUBLE
+                                                   AS sum_disc_price,
+       sum(l_quantity::DECIMAL(18,4))::DOUBLE / count(*) AS avg_qty,
+       count(*)                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -62,11 +79,11 @@ def q02_filter_projection(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_quantity") >= 49.0) & (F.col("l_returnflag") == "R")
-    ).select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    ).select("l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("price"))
 
 
 Q02_SQL = """
-SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+SELECT l_orderkey, l_linenumber, l_extendedprice AS price
 FROM lineitem WHERE l_quantity >= 49.0 AND l_returnflag = 'R'
 """
 
@@ -80,13 +97,14 @@ def q03_broadcast_join(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
         )
     )
 
 
 Q03_SQL = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -100,16 +118,17 @@ def q04_shuffle_join(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
         )
     )
 
 
 Q04_SQL = """
 SELECT o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -124,12 +143,12 @@ def q05_topk_per_group(spark, sf_dir):
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("price"), "rn")
     )
 
 
 Q05_SQL = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+SELECT o_custkey, o_orderkey, o_totalprice AS price, rn
 FROM (SELECT *, row_number() OVER
         (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       FROM orders)
@@ -193,12 +212,12 @@ def q09_window_rank(spark, sf_dir):
     return (
         orders.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 2)
-        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+        .select("o_orderpriority", "o_orderkey", F.col("o_totalprice").alias("price"), "rk")
     )
 
 
 Q09_SQL = """
-SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rk
+SELECT o_orderpriority, o_orderkey, o_totalprice AS price, rk
 FROM (SELECT *, row_number() OVER
         (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
       FROM orders)
@@ -213,12 +232,12 @@ def q10_politeness_topk(spark, sf_dir):
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
-        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rn")
+        .select("user_id", "event_id", F.col("value").alias("value"), "rn")
     )
 
 
 Q10_SQL = """
-SELECT user_id, event_id, round(value, 4) AS value, rn
+SELECT user_id, event_id, value AS value, rn
 FROM (SELECT *, row_number() OVER
         (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
       FROM events)
@@ -235,14 +254,15 @@ def q11_epoch_metrics(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double").alias("sum_value"),
         )
     )
 
 
 Q11_SQL = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS epoch_hour, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+       count(*) AS n, sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -332,20 +352,19 @@ def q16_quality_score(spark, sf_dir):
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(
-            (F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens), 4
-        ).alias("avg_token_len"),
-        F.round(n_the / n_tokens, 4).alias("stopword_ratio"),
+        (F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens)
+        .alias("avg_token_len"),
+        (n_the / n_tokens).alias("stopword_ratio"),
     )
 
 
 Q16_SQL = """
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_tokens,
-       round(length(regexp_replace(text, '\\s+', '', 'g'))
-             / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len,
-       round(((length(text) - length(replace(text, 'the', ''))) / 3.0)
-             / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio
+       length(regexp_replace(text, '\\s+', '', 'g'))
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+       ((length(text) - length(replace(text, 'the', ''))) / 3.0)
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
 FROM documents
 """
 
@@ -471,7 +490,7 @@ def q19_minhash_lsh_pairs(spark, sf_dir):
     return (
         inter.join(ca, "doc_a").join(cb, "doc_b")
         .filter(jac_raw >= 0.5)  # filter pre-round, same as the oracle
-        .select("doc_a", "doc_b", F.round(jac_raw, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac_raw.alias("jaccard"))
     )
 
 
@@ -497,7 +516,7 @@ inter AS (
   JOIN shingles sb ON sb.doc_id = doc_b AND sa.h = sb.h
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       round(n_inter / (ca.n + cb.n - n_inter), 4) AS jaccard
+       n_inter / (ca.n + cb.n - n_inter) AS jaccard
 FROM inter
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
@@ -722,6 +741,86 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def q27_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: sign-LSH bucketed candidate pairs
+    with cosine ≥ 0.25 (threshold fits the random-embedding corpus; the
+    operator shape — LSH bucket join + exact-cosine verify — is the point)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = sum(
+        (F.when(F.element_at("v", j + 1) > 0, 1 << j).otherwise(0) for j in range(8)),
+        F.lit(0),
+    ).alias("bucket")
+    b = emb.select("vec_id", "v", bucket)
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    )
+    cos = _cosine(F.col("a.v"), F.col("c.v"))
+    return pairs.filter(cos >= 0.25).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("c.vec_id").alias("vec_b"),
+        F.round(cos, 4).alias("cos"),
+    )
+
+
+Q27_SQL = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 4) AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.25
+"""
+
+
+def q28_tumbling_window(spark, sf_dir):
+    """Streaming-shaped tumbling window agg (batch form of the
+    readStream→window→agg pipeline; same plan shape under Structured
+    Streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "6 hours")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact decimal sum → one IEEE double division: bit-identical
+            # both sides.  NO rounding: Spark rounds doubles via their
+            # shortest decimal repr, DuckDB via the true binary value, so
+            # round() itself breaks parity on boundary values.
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type", "n", "avg_value",
+        )
+    )
+
+
+Q28_SQL = """
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, count(*) AS n,
+       sum(value::DECIMAL(18,6))::DOUBLE / count(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def _doc_image_pages(spark, sf_dir):
     """Pages with a captioned <img> per document — the image-payload path
     over driver testdata (w/h derived from n_chars so the oracle can
@@ -811,6 +910,8 @@ QUERIES: dict[str, Callable] = {
     "q24_match_scan": q24_match_scan,
     "q25_images_meta": q25_images_meta,
     "q26_image_phash": q26_image_phash,
+    "q27_embedding_neardup": q27_embedding_neardup,
+    "q28_tumbling_window": q28_tumbling_window,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -840,4 +941,6 @@ ORACLE_SQL: dict[str, str] = {
     "q24_match_scan": Q24_SQL,
     "q25_images_meta": Q25_SQL,
     # q26_image_phash intentionally has no oracle: binary payload + phash
+    "q27_embedding_neardup": Q27_SQL,
+    "q28_tumbling_window": Q28_SQL,
 }

@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just plans
+that pass.  Each check pins a property SURVEY.md §4 / ARCHITECTURE.md claims:
+filter+projection pushdown into the parquet scan, broadcast for small dims,
+map-side partial aggregation, hash-based semi/anti joins, whole-stage
+codegen on the relational glue."""
+import pytest
+
+from mlscraper_spark import queries as Q
+
+
+def _plan(spark, sf_dir, fn, execute=False):
+    df = fn(spark, sf_dir)
+    if execute:  # AQE finalizes (and codegens) only at execution time
+        df.write.mode("overwrite").format("noop").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_and_projection_pushdown(spark, sf):
+    plan = _plan(spark, sf, Q.q02_filter_projection)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThanOrEqual(l_quantity" in plan
+    # column pruning: scan must read only the 4 needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema, "scan reads columns it must prune"
+
+
+def test_broadcast_join_for_small_dim(spark, sf):
+    plan = _plan(spark, sf, Q.q03_broadcast_join)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark, sf):
+    plan = _plan(spark, sf, Q.q01_pricing_summary)
+    # partial (map-side) + final agg pair
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_anti_and_semi_joins_are_hash_joins(spark, sf):
+    anti = _plan(spark, sf, Q.q06_anti_join)
+    semi = _plan(spark, sf, Q.q07_semi_join)
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+    assert "NestedLoop" not in anti and "NestedLoop" not in semi
+
+
+def test_whole_stage_codegen_present(spark, sf):
+    import io
+    from contextlib import redirect_stdout
+
+    df = Q.q04_shuffle_join(spark, sf)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_topk_uses_windowed_rank_not_global_sort(spark, sf):
+    plan = _plan(spark, sf, Q.q05_topk_per_group)
+    assert "Window" in plan or "WindowGroupLimit" in plan
+    # Spark ≥3.5 pushes rank<=k into WindowGroupLimit (partial top-k)
+    assert "WindowGroupLimit" in plan, "rank filter should push into group-limit"
+
+
+def test_extraction_stage_has_no_shuffle(spark, sf):
+    df = Q.q23_extract_scraper(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "extraction hot path must be shuffle-free"
