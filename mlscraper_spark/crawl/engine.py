@@ -538,6 +538,18 @@ def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     if last is None:
         seed_crawl(spark, root, seeds, web, cfg)
         last = -1
+    if scraper_plan or emit_images:
+        # backfill payload tables for already-complete epochs (a kill can
+        # land between the epoch manifest and its payload stages; fetch is
+        # a pure function, so re-deriving the payload is exact)
+        for e in range(0, last + 1):
+            d = _snap_dir(root, e)
+            missing = (scraper_plan and not os.path.isdir(os.path.join(d, "extractions"))) or (
+                emit_images and not os.path.isdir(os.path.join(d, "images"))
+            )
+            if missing and os.path.isdir(os.path.join(d, "fetch_log")):
+                _run_payload_stages(spark, root, e, web, scraper_plan,
+                                    emit_images)
     for epoch in range(last + 1, max_epochs):
         n = run_epoch(spark, root, epoch, web, cfg)
         if n == 0:

@@ -122,6 +122,18 @@ def test_train_scraper_spark_end_to_end(spark):
     assert value == {"name": "J.K. Rowling", "born": "July 31, 1965"}
 
 
+def test_stackoverflow_golden_with_spark_scan(spark):
+    """The SO golden (test_training.py:84-95) with the match scan running
+    distributed: same plan shape + round-trip as the driver-side scan."""
+    import mlscraper_spark.api as api
+    from mlscraper_spark.training.scrapers import apply_plan_to_html
+
+    html = reference_fixture("so.html")
+    plan = api.train_scraper([(html, SO_ITEM)], complexity=2, spark=spark)
+    assert plan["type"] == "list"
+    assert apply_plan_to_html(html, plan) == SO_ITEM
+
+
 def test_value_match_index_empty_for_missing(spark):
     idx = build_value_match_index(
         spark, [("p", b"<html><body><p>a</p></body></html>")], ["zzz"]
