@@ -32,6 +32,30 @@ def _trained_plan():
     return train_scraper(ts)
 
 
+def test_payload_backfill_on_resume(spark, tmp_path):
+    """A kill between an epoch's manifest and its payload stages must heal
+    on resume: delete one epoch's extractions dir and re-run."""
+    import shutil
+
+    plan = _trained_plan()
+    root = str(tmp_path / "backfill_crawl")
+    cfg = CrawlConfig(budget_per_host=2)
+    run_crawl(spark, root, WEB.seeds(2), WEB, cfg, max_epochs=2,
+              scraper_plan=plan)
+    before = {
+        (r.url_canon, r.value_json)
+        for r in read_extractions(spark, root).collect()
+    }
+    shutil.rmtree(f"{root}/snap_00002/extractions")  # simulate the kill
+    run_crawl(spark, root, WEB.seeds(2), WEB, cfg, max_epochs=2,
+              scraper_plan=plan)
+    after = {
+        (r.url_canon, r.value_json)
+        for r in read_extractions(spark, root).collect()
+    }
+    assert after == before
+
+
 def test_trained_plan_applied_over_crawl(spark, tmp_path):
     plan = _trained_plan()
     assert plan["type"] == "dict"
