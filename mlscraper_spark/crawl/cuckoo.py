@@ -20,9 +20,17 @@ EMPTY = 0  # fingerprints are 1..65535; 0 marks an empty slot
 
 
 class CuckooFilter:
-    def __init__(self, n_buckets: int = 1 << 12, table: np.ndarray | None = None):
+    """``saturated`` is the no-false-negative guarantee under overflow: if
+    an insert cannot complete, its kick chain is UNDONE (so nothing already
+    present is evicted) and the filter degrades to answering "maybe seen"
+    for everything — the exact anti-join backstop then carries the load;
+    correctness never depends on filter capacity."""
+
+    def __init__(self, n_buckets: int = 1 << 12, table: np.ndarray | None = None,
+                 saturated: bool = False):
         assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
         self.n_buckets = n_buckets
+        self.saturated = saturated
         self.table = (
             table
             if table is not None
@@ -65,12 +73,15 @@ class CuckooFilter:
                     break
             if placed:
                 continue
-            # kick loop
+            # kick loop, with an undo trail: on failure every displacement
+            # is reverted so existing entries are never evicted
             cur_i, cur_fp = i1, fp
             rng_state = cur_fp
+            trail: list[tuple[int, int, int]] = []  # (bucket, slot, old_fp)
             for _ in range(MAX_KICKS):
                 rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
                 slot = rng_state % SLOTS_PER_BUCKET
+                trail.append((cur_i, slot, int(t[cur_i][slot])))
                 cur_fp, t[cur_i][slot] = int(t[cur_i][slot]), cur_fp
                 cur_i = int(
                     self._index2(
@@ -82,6 +93,9 @@ class CuckooFilter:
                     t[cur_i][empty[0]] = cur_fp
                     break
             else:
+                for b, s, old in reversed(trail):
+                    t[b][s] = old
+                self.saturated = True
                 failed += 1
         return failed
 
@@ -90,6 +104,8 @@ class CuckooFilter:
         h = np.asarray(hashes, dtype=np.int64).view(np.uint64).astype(np.int64)
         if h.size == 0:
             return np.zeros(0, dtype=bool)
+        if self.saturated:
+            return np.ones(h.size, dtype=bool)  # degrade to exact-join path
         fps = self._fingerprint(h)
         i1 = self._index1(h)
         i2 = self._index2(i1, fps)
@@ -97,11 +113,12 @@ class CuckooFilter:
         return ((self.table[i1] == fcol) | (self.table[i2] == fcol)).any(axis=1)
 
     def to_bytes(self) -> bytes:
-        return self.table.tobytes()
+        return bytes([1 if self.saturated else 0]) + self.table.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes, n_buckets: int = 1 << 12) -> "CuckooFilter":
-        table = np.frombuffer(blob, dtype=np.uint16).reshape(
+        saturated = blob[0] == 1
+        table = np.frombuffer(blob, dtype=np.uint16, offset=1).reshape(
             n_buckets, SLOTS_PER_BUCKET
         ).copy()
-        return cls(n_buckets, table)
+        return cls(n_buckets, table, saturated)

@@ -403,7 +403,9 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
         "url_canon", "url_hash", "host_bucket", F.lit(epoch).alias("seen_epoch")
     )
     url_seen_all = url_seen.unionByName(seen_delta)
-    filters_new = _update_filters(filters, seen_delta, cfg)
+    # cache: consumed by both the cuckoo split and the snapshot write —
+    # without it the blob rebuild cogroup runs twice per epoch
+    filters_new = _update_filters(filters, seen_delta, cfg).cache()
 
     # ---- frontier merge: (old ∖ fetched) ∪ discoveries, min-rules -------
     cand = (
@@ -497,6 +499,7 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     fetched.unpersist()
     flagged.unpersist()
     robots_new.unpersist()
+    filters_new.unpersist()
     return n_selected
 
 
@@ -544,8 +547,13 @@ def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
         # a pure function, so re-deriving the payload is exact)
         for e in range(0, last + 1):
             d = _snap_dir(root, e)
-            missing = (scraper_plan and not os.path.isdir(os.path.join(d, "extractions"))) or (
-                emit_images and not os.path.isdir(os.path.join(d, "images"))
+            # _SUCCESS is Spark's commit marker: a dir without it is a
+            # partial write from a mid-payload kill and must be redone
+            def _complete(name):
+                return os.path.exists(os.path.join(d, name, "_SUCCESS"))
+
+            missing = (scraper_plan and not _complete("extractions")) or (
+                emit_images and not _complete("images")
             )
             if missing and os.path.isdir(os.path.join(d, "fetch_log")):
                 _run_payload_stages(spark, root, e, web, scraper_plan,
@@ -580,31 +588,31 @@ def _run_payload_stages(spark: SparkSession, root: str, epoch: int,
         )
 
 
-def read_images(spark: SparkSession, root: str) -> DataFrame:
+EXTRACTIONS_SCHEMA = "url_canon string, value_json string"
+
+
+def _read_epoch_tables(spark: SparkSession, root: str, name: str,
+                       schema: object) -> DataFrame:
     last = last_complete_epoch(root)
     paths = [
         p
         for e in range(0, (last if last is not None else -1) + 1)
-        if os.path.isdir(p := os.path.join(_snap_dir(root, e), "images"))
+        if os.path.isdir(p := os.path.join(_snap_dir(root, e), name))
     ]
-    return spark.read.parquet(*paths)
+    if not paths:  # nothing written yet → empty frame, not AnalysisException
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def read_images(spark: SparkSession, root: str) -> DataFrame:
+    from mlscraper_spark.images.ops import IMAGES_SCHEMA
+
+    return _read_epoch_tables(spark, root, "images", IMAGES_SCHEMA)
 
 
 def read_extractions(spark: SparkSession, root: str) -> DataFrame:
-    last = last_complete_epoch(root)
-    paths = [
-        p
-        for e in range(0, (last if last is not None else -1) + 1)
-        if os.path.isdir(p := os.path.join(_snap_dir(root, e), "extractions"))
-    ]
-    return spark.read.parquet(*paths)
+    return _read_epoch_tables(spark, root, "extractions", EXTRACTIONS_SCHEMA)
 
 
 def read_fetch_log(spark: SparkSession, root: str) -> DataFrame:
-    last = last_complete_epoch(root)
-    paths = [
-        p
-        for e in range(0, (last or 0) + 1)
-        if os.path.isdir(p := os.path.join(_snap_dir(root, e), "fetch_log"))
-    ]
-    return spark.read.schema(FETCHLOG_SCHEMA).parquet(*paths)
+    return _read_epoch_tables(spark, root, "fetch_log", FETCHLOG_SCHEMA)

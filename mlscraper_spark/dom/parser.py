@@ -131,7 +131,15 @@ def _wrap_tree(builder: _TreeBuilder):
         html_el = {"tag": "html", "attrs": {}, "children": [body_idx]}
         elems.append(html_el)
         return [len(elems) - 1]
-    # html exists: ensure a body wraps its non-head/body children
+    # html exists: reparent any stray top-level siblings into it (lxml's
+    # recovery parser keeps such content; dropping it would lose matches)
+    pre = [c for c in top[: top.index(html_idx)]]
+    post = [c for c in top[top.index(html_idx) + 1:]]
+    if pre or post:
+        elems[html_idx]["children"] = (
+            pre + elems[html_idx]["children"] + post
+        )
+    # ensure a body wraps its non-head/body children
     children = elems[html_idx]["children"]
     if not any(
         isinstance(c, int) and elems[c]["tag"] == "body" for c in children

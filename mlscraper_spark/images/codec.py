@@ -174,7 +174,7 @@ def phash(img: np.ndarray) -> int:
     val = 0
     for bit in bits[:63]:
         val = (val << 1) | int(bit)
-    return val - (1 << 63) if val >= (1 << 62) else val
+    return val  # 63 bits always fit signed int64 (LongType)
 
 
 def hamming64(a: int, b: int) -> int:

@@ -35,11 +35,17 @@ def extract_with_plan(pages_df: DataFrame, plan: dict,
         for pdf in batches:
             out = []
             for page_id, html in zip(pdf[page_id_col], pdf[html_col]):
+                # convention across all extract operators: SQL NULL means
+                # the pipeline failed; the JSON string "null" means the
+                # plan ran and extracted nothing
                 try:
-                    value = apply_plan_to_html(html, p, strict=False)
+                    out.append(
+                        (page_id,
+                         json.dumps(apply_plan_to_html(html, p, strict=False),
+                                    sort_keys=True))
+                    )
                 except Exception:
-                    value = None
-                out.append((page_id, json.dumps(value, sort_keys=True)))
+                    out.append((page_id, None))
             yield pd.DataFrame(out, columns=["page_id", "value_json"])
 
     return pages_df.select(page_id_col, html_col).mapInPandas(_extract, schema)
@@ -67,15 +73,20 @@ def extract_from_urls(urls_df: DataFrame, plan: dict, web,
         for pdf in batches:
             out = []
             for url in pdf[url_col]:
+                # same NULL-vs-"null" convention as extract_with_plan:
+                # NULL = fetch/plan failure, "null" = extracted nothing
                 status, html = fetch(url, web)
                 if status != 200:
                     out.append((url, None))
                     continue
                 try:
-                    value = apply_plan_to_html(html, p, strict=False)
+                    out.append(
+                        (url,
+                         json.dumps(apply_plan_to_html(html, p, strict=False),
+                                    sort_keys=True))
+                    )
                 except Exception:
-                    value = None
-                out.append((url, json.dumps(value, sort_keys=True)))
+                    out.append((url, None))
             yield pd.DataFrame(out, columns=["url_canon", "value_json"])
 
     return urls_df.select(url_col).mapInPandas(_run, schema)

@@ -125,7 +125,9 @@ def build_value_match_index(spark: SparkSession, pages: list[tuple[str, bytes]],
     values_df = spark.createDataFrame([(s,) for s in set(values)], "value string")
     rows = (
         scan_matches(nodes_df, values_df, drop_dimensions=False)
-        .sort("page_id", "value", "sort_key")
+        # extractor_attr as final tiebreak: two attrs of one node carrying
+        # the same value share a sort_key; both paths order by attr name
+        .sort("page_id", "value", "sort_key", "extractor_attr")
         .collect()
     )
     index: dict = {}

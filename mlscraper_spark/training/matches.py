@@ -172,6 +172,11 @@ class DictMatch(Match):
 
     def similarity_to(self, other: "DictMatch") -> float:
         keys = set(self.match_by_key) & set(other.match_by_key)
+        if not keys:
+            # reference crashes here (mean of empty, matches.py:136-142);
+            # disjoint key sets are reachable via DictItem.add_sample, so
+            # treat them as maximally dissimilar instead of failing the job
+            return 0.0
         return mean(
             self.match_by_key[k].similarity_to(other.match_by_key[k]) for k in keys
         )
@@ -263,10 +268,13 @@ def scan_value_matches(page_key: str, dom: PageDOM, value: str) -> list[ValueMat
                 if dom.node(aid).text == rec.text:
                     out.append(ValueMatch(page_key, dom, aid, TEXT_EXTRACTOR))
     for rec in dom.records:
-        for attr, v in rec.attrs.items():
+        # sorted by attr name: the reference relies on dict (document) attr
+        # order, which the distributed scan cannot observe through a
+        # MapType column — both paths pin the same deterministic order
+        for attr in sorted(rec.attrs):
             if attr in ("class", "rel"):
                 continue
-            if v == value:
+            if rec.attrs[attr] == value:
                 out.append(
                     ValueMatch(page_key, dom, rec.node_id, attr_extractor(attr))
                 )

@@ -48,10 +48,13 @@ def generate_regular_node_selectors(dom: PageDOM, node_id: int):
             yield class_selector
             yield f"{rec.tag}{class_selector}"
     for attr, value in rec.attrs.items():
-        if attr not in ATTRIBUTE_SELECTOR_BLACKLIST:
-            yield f"{rec.tag}[{attr}]"
-            if _is_plain_attribute_value(value):
-                yield f'{rec.tag}[{attr}="{value}"]'
+        if attr in ATTRIBUTE_SELECTOR_BLACKLIST:
+            continue
+        if not re.fullmatch(r"[A-Za-z_][\w\-]*", attr):
+            continue  # namespaced attrs (xml:lang, xlink:href) break CSS
+        yield f"{rec.tag}[{attr}]"
+        if _is_plain_attribute_value(value):
+            yield f'{rec.tag}[{attr}="{value}"]'
 
 
 def generate_node_selectors(dom: PageDOM, node_id: int):

@@ -119,3 +119,15 @@ def test_cuckoo_roundtrip():
     flt.insert_many([1, 2, 3, -5, 1 << 60])
     again = CuckooFilter.from_bytes(flt.to_bytes(), 1 << 8)
     assert again.contains_many(np.array([1, 2, 3, -5, 1 << 60], dtype=np.int64)).all()
+
+
+def test_cuckoo_saturation_never_false_negative():
+    """Overflow must degrade to maybe-seen-everything, never evict."""
+    flt = CuckooFilter(1 << 4)  # 64 slots → guaranteed overflow
+    hashes = [url_hash(f"http://h.test/x/{i}") for i in range(500)]
+    failed = flt.insert_many(hashes)
+    assert failed > 0 and flt.saturated
+    assert flt.contains_many(np.array(hashes, dtype=np.int64)).all()
+    again = CuckooFilter.from_bytes(flt.to_bytes(), 1 << 4)
+    assert again.saturated
+    assert again.contains_many(np.array(hashes, dtype=np.int64)).all()

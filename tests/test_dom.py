@@ -101,3 +101,10 @@ def test_limit_early_exit():
     assert len(dom.select(PAGE_ROOT, "p", limit=2)) == 2
     # full select after a limited one must not be poisoned by the cache
     assert len(dom.select(PAGE_ROOT, "p")) == 3
+
+
+def test_content_outside_html_kept():
+    # lxml's recovery parser keeps stray top-level content; so do we
+    recs = parse_html(b"<div>OUTSIDE</div><html><body><p>IN</p></body></html>")
+    texts = [r.text for r in recs if r.tag == "div"]
+    assert texts == ["OUTSIDE"]

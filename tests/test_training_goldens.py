@@ -91,3 +91,15 @@ def test_no_scraper_found_raises():
 
     with pytest.raises(NoMatchFoundException):
         _train([(b"<html><body><p>a</p></body></html>", "missing-value")])
+
+
+def test_namespaced_attrs_do_not_crash_training():
+    # xml:lang / xlink:href style attributes must be skipped, not crash
+    plan = _train(
+        [(b'<html><body><div class="a"><span xml:lang="en">Hello</span></div></body></html>',
+          "Hello")]
+    )
+    assert apply_plan_to_html(
+        b'<html><body><div class="a"><span xml:lang="de">Hallo</span></div></body></html>',
+        plan,
+    ) == "Hallo"
