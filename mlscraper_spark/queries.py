@@ -30,6 +30,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+
+def _ensure_utc(spark: SparkSession) -> None:
+    """Timestamp-formatting queries must not depend on who built the
+    session: the driver's harness may not pin a timezone, and the DuckDB
+    oracle formats naive timestamps as stored."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # --------------------------------------------------------------------------
 # relational core (TPC-H tables) — SURVEY.md §2.2-2.6 operator families
 # --------------------------------------------------------------------------
@@ -247,6 +255,7 @@ WHERE rn <= 2
 
 def q11_epoch_metrics(spark, sf_dir):
     """A8 crawl metrics: per-epoch(hour)/type counters."""
+    _ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -286,6 +295,7 @@ FROM documents GROUP BY source
 
 def q13_sessionize(spark, sf_dir):
     """Streaming-analog sessionization: 1h-gap sessions via lag + cumsum."""
+    _ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # NTZ → UTC seconds
@@ -791,6 +801,7 @@ def q28_tumbling_window(spark, sf_dir):
     """Streaming-shaped tumbling window agg (batch form of the
     readStream→window→agg pipeline; same plan shape under Structured
     Streaming)."""
+    _ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
     win = F.window(F.col("ts"), "6 hours")
     return (
