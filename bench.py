@@ -55,17 +55,62 @@ def main():
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # BASELINE.json headline metrics: frontier URLs/sec + extraction rows/sec
+    urls_per_sec = extract_rows_per_sec = None
+    if os.environ.get("BENCH_SKIP_THROUGHPUT") != "1":
+        urls_per_sec, extract_rows_per_sec = _throughput(spark)
+
     out = {
         "metric": "headline query wall time (lower is better)",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "urls_per_sec": urls_per_sec,
+        "extract_rows_per_sec": extract_rows_per_sec,
         "master": spark.sparkContext.master,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _throughput(spark):
+    """Frontier-processing URLs/sec (2-epoch BSP crawl) and image-caption
+    extraction rows/sec (fused fetch→parse→extract), on the deterministic
+    synthetic web."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mlscraper_spark.crawl.engine import CrawlConfig, read_fetch_log, run_crawl
+    from mlscraper_spark.crawl.synthweb import WebConfig
+    from mlscraper_spark.images.ops import fetch_and_extract_images
+
+    web = WebConfig(n_hosts=20000, max_pages_per_host=40, links_per_page=4)
+    seeds = [f"http://{web.host_name(i)}/page/0" for i in range(20000)]
+    root = "/tmp/bench_crawl"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.time()
+    run_crawl(spark, root, seeds, web,
+              CrawlConfig(budget_per_host=8, n_buckets=32), max_epochs=2)
+    crawl_sec = time.time() - t0
+    n_urls = read_fetch_log(spark, root).count()
+    shutil.rmtree(root, ignore_errors=True)
+
+    host = F.col("id") % web.n_hosts
+    n_pages = F.greatest(F.lit(2), F.floor(40 * F.pow(host + 1, -0.8)))
+    urls = spark.range(30000).repartition(128).select(
+        F.concat(
+            F.lit("http://host"), host.cast("string"), F.lit(".test/page/"),
+            (F.col("id") % n_pages).cast("string"),
+        ).alias("url_canon")
+    )
+    t0 = time.time()
+    n_rows = fetch_and_extract_images(urls, web).count()
+    extract_sec = time.time() - t0
+    return round(n_urls / crawl_sec, 1), round(n_rows / extract_sec, 1)
 
 
 if __name__ == "__main__":

@@ -432,14 +432,16 @@ FROM documents
 
 
 def _shingles(spark, sf_dir):
-    """8-char shingles at stride 4 (shared by q19/q20)."""
+    """8-char shingles at stride 4 (shared by q19/q20) — position explode
+    carries the text column along (no self-join, no extra shuffle)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        "text",
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)), F.lit(4))
         ).alias("pos"),
-    ).join(docs.select("doc_id", "text"), "doc_id").select(
+    ).select(
         "doc_id",
         F.md5(F.encode(F.expr("substr(text, pos, 8)"), "utf-8")).alias("h"),
     ).distinct()
