@@ -9,9 +9,41 @@ DuckDB-checkable ANSI-SQL oracle.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make mlscraper_spark importable inside python workers regardless of
+    how the session was built (the spark-submit --py-files pattern, applied
+    programmatically): zip the package once and addPyFile it."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    zip_path = "/tmp/mlscraper_spark_pkg.zip"
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            pkg = os.path.join(_REPO, "mlscraper_spark")
+            for base, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(base, fn)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _SHIPPED.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from mlscraper_spark.images.ops import extract_images_table
     from mlscraper_spark.queries import _doc_image_pages
 
+    _ship_package(spark)
     images = extract_images_table(_doc_image_pages(spark, "/root/testdata/sf0.001"))
     return images.select(
         "image_id", "w", "h", "fmt", "caption", "phash",
@@ -33,7 +66,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mlscraper_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
