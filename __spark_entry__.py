@@ -21,28 +21,37 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 _SHIPPED: set[int] = set()
+_ZIP_PATH: str | None = None
+
+
+def _build_zip() -> str:
+    """Fresh per-process zip in a private temp dir: never reuses a stale,
+    truncated, or attacker-pre-created file at a predictable path."""
+    global _ZIP_PATH
+    if _ZIP_PATH is None:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="mlscraper_spark_pkg_")
+        path = os.path.join(d, "mlscraper_spark.zip")
+        with zipfile.ZipFile(path, "w") as zf:
+            pkg = os.path.join(_REPO, "mlscraper_spark")
+            for base, _, files in os.walk(pkg):
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        full = os.path.join(base, fn)
+                        zf.write(full, os.path.relpath(full, _REPO))
+        _ZIP_PATH = path
+    return _ZIP_PATH
 
 
 def _ship_package(spark: SparkSession) -> None:
     """Make mlscraper_spark importable inside python workers regardless of
     how the session was built (the spark-submit --py-files pattern, applied
-    programmatically): zip the package once and addPyFile it."""
+    programmatically)."""
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
-    zip_path = "/tmp/mlscraper_spark_pkg.zip"
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            pkg = os.path.join(_REPO, "mlscraper_spark")
-            for base, _, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(base, fn)
-                        zf.write(full, os.path.relpath(full, _REPO))
-    try:
-        spark.sparkContext.addPyFile(zip_path)
-    except Exception:
-        pass  # already added in this context
+    spark.sparkContext.addPyFile(_build_zip())  # failures must surface
     _SHIPPED.add(key)
 
 

@@ -44,7 +44,6 @@ def main():
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
     for name in names:
         fn = QUERIES[name]
         t0 = time.time()
@@ -81,6 +80,7 @@ def _throughput(spark):
     extraction rows/sec (fused fetch→parse→extract), on the deterministic
     synthetic web."""
     import shutil
+    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -89,9 +89,8 @@ def _throughput(spark):
     from mlscraper_spark.images.ops import fetch_and_extract_images
 
     web = WebConfig(n_hosts=20000, max_pages_per_host=40, links_per_page=4)
-    seeds = [f"http://{web.host_name(i)}/page/0" for i in range(20000)]
-    root = "/tmp/bench_crawl"
-    shutil.rmtree(root, ignore_errors=True)
+    seeds = [f"http://{web.host_name(i)}/page/0" for i in range(web.n_hosts)]
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.time()
     run_crawl(spark, root, seeds, web,
               CrawlConfig(budget_per_host=8, n_buckets=32), max_epochs=2)
@@ -99,8 +98,12 @@ def _throughput(spark):
     n_urls = read_fetch_log(spark, root).count()
     shutil.rmtree(root, ignore_errors=True)
 
-    host = F.col("id") % web.n_hosts
-    n_pages = F.greatest(F.lit(2), F.floor(40 * F.pow(host + 1, -0.8)))
+    # page counts come from WebConfig itself (literal lookup array), so the
+    # bench can never disagree with the web it measures
+    ext_web = WebConfig(n_hosts=200, max_pages_per_host=40, links_per_page=4)
+    host = F.col("id") % ext_web.n_hosts
+    pages_arr = F.array(*[F.lit(ext_web.n_pages(i)) for i in range(ext_web.n_hosts)])
+    n_pages = F.element_at(pages_arr, (host + 1).cast("int"))
     urls = spark.range(30000).repartition(128).select(
         F.concat(
             F.lit("http://host"), host.cast("string"), F.lit(".test/page/"),
@@ -108,7 +111,7 @@ def _throughput(spark):
         ).alias("url_canon")
     )
     t0 = time.time()
-    n_rows = fetch_and_extract_images(urls, web).count()
+    n_rows = fetch_and_extract_images(urls, ext_web).count()
     extract_sec = time.time() - t0
     return round(n_urls / crawl_sec, 1), round(n_rows / extract_sec, 1)
 

@@ -170,8 +170,12 @@ def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
 
 def _filter_robots(df: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop rows whose path matches a disallow prefix (broadcast join J8)."""
+    # coalesce: parse_url yields NULL for URLs java.net.URI rejects; the
+    # oracle's urlsplit returns '' there — NULL would nullify exists() and
+    # silently drop the row, diverging from the oracle
     with_path = df.withColumn(
-        "path", F.parse_url(F.col("url_canon"), F.lit("PATH"))
+        "path",
+        F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("")),
     )
     joined = with_path.join(F.broadcast(robots.select("host", "rules_json")), "host", "left")
     rules = F.from_json(F.coalesce(F.col("rules_json"), F.lit("[]")), "array<string>")
@@ -261,7 +265,13 @@ def _update_filters(filters: DataFrame, new_hashes: DataFrame,
         else:
             flt = CuckooFilter(cfg.filter_buckets)
         if len(hash_pdf):
-            flt.insert_many(hash_pdf["url_hash"].to_numpy(np.int64))
+            # sorted insert order → blob bytes (and the manifest's md5
+            # fingerprints) are a pure function of the hash SET, not of
+            # shuffle arrival order — lineage fingerprints stay comparable
+            # across reruns and resume
+            flt.insert_many(
+                np.sort(hash_pdf["url_hash"].to_numpy(np.int64))
+            )
         return pd.DataFrame({"host_bucket": [int(key[0])], "blob": [flt.to_bytes()]})
 
     return filters.groupBy("host_bucket").cogroup(
@@ -303,7 +313,14 @@ def _assign_global_seq(spark: SparkSession, df: DataFrame, order) -> DataFrame:
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*order)
-    ranked = ranged.withColumn("_rn", F.row_number().over(w)).cache()
+    # localCheckpoint CUTS LINEAGE: RangePartitioner's sampling may draw
+    # different bounds on recomputation, which would silently invalidate the
+    # offsets collected below; with lineage cut, partition loss fails the
+    # epoch (safe — snapshots make retry exact) instead of corrupting seq
+    ranked = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
     counts = dict(
         (r._pid, r.cnt)
         for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -316,11 +333,9 @@ def _assign_global_seq(spark: SparkSession, df: DataFrame, order) -> DataFrame:
     off_col = F.lit(0)
     for pid, off in offsets.items():
         off_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_col)
-    out = ranked.withColumn(
+    return ranked.withColumn(
         "seq", (off_col + F.col("_rn") - 1).cast("int")
     ).drop("_pid", "_rn")
-    out._seq_ranked_cache = ranked  # released by the caller post-materialize
-    return out
 
 
 def _trace(label: str, t0: float) -> float:
@@ -355,12 +370,27 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     )
     selected = _assign_global_seq(spark, selected, order).cache()
     n_selected = selected.count()
-    selected._seq_ranked_cache.unpersist()
     _t = _trace("select", _t)
     if n_selected == 0:
+        selected.unpersist()
         _write_empty_epoch(spark, root, epoch, frontier, robots, filters)
         return 0
 
+    # caches created below are released in the finally block even when a
+    # stage throws (long sessions run many crawls)
+    _caches = [selected]
+    try:
+        return _run_epoch_body(
+            spark, root, epoch, web, cfg, frontier, robots, filters,
+            url_seen, selected, n_selected, _caches, _t,
+        )
+    finally:
+        for df_ in _caches:
+            df_.unpersist()
+
+
+def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
+                    url_seen, selected, n_selected, _caches, _t):
     # ---- fetch + parse (S4, Arrow-batched, partitioned by host bucket) --
     fetch_fn, fetch_schema = _fetch_udf(web)
     # 4 waves per core, capped by config — partition count never changes
@@ -373,6 +403,7 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
         .mapInPandas(fetch_fn, fetch_schema)
         .cache()
     )
+    _caches.append(fetched)
     fetched.count()
     _t = _trace("fetch+parse", _t)
 
@@ -392,6 +423,7 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
         epoch + 1,
         web,
     ).cache()
+    _caches.append(robots_new)
     robots_all = robots.unionByName(robots_new)
     disc = _filter_robots(disc, robots_all)
     disc = _with_host_bucket(disc, cfg).withColumn(
@@ -406,6 +438,7 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     # cache: consumed by both the cuckoo split and the snapshot write —
     # without it the blob rebuild cogroup runs twice per epoch
     filters_new = _update_filters(filters, seen_delta, cfg).cache()
+    _caches.append(filters_new)
 
     # ---- frontier merge: (old ∖ fetched) ∪ discoveries, min-rules -------
     cand = (
@@ -430,6 +463,7 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     )
     # cache: both branches below consume the same cuckoo-cogroup output
     flagged = _split_by_filter(cand, filters_new, cfg).cache()
+    _caches.append(flagged)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     survived = maybe.join(
@@ -495,11 +529,6 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
             f,
         )
     _t = _trace("manifest", _t)
-    selected.unpersist()
-    fetched.unpersist()
-    flagged.unpersist()
-    robots_new.unpersist()
-    filters_new.unpersist()
     return n_selected
 
 

@@ -43,9 +43,11 @@ def extraction_job(spark, m_urls: int) -> tuple[float, int]:
 
     web = WebConfig(n_hosts=200, max_pages_per_host=50)
 
-    # URL list built JVM-side; fetch+parse+extract fused in ONE Arrow stage
+    # URL list built JVM-side; fetch+parse+extract fused in ONE Arrow stage.
+    # page counts from WebConfig itself (literal lookup) — one formula only
     host = F.col("id") % web.n_hosts
-    n_pages = F.greatest(F.lit(2), F.floor(50 * F.pow(host + 1, -0.8)))
+    pages_arr = F.array(*[F.lit(web.n_pages(i)) for i in range(web.n_hosts)])
+    n_pages = F.element_at(pages_arr, (host + 1).cast("int"))
     urls = (
         spark.range(m_urls)
         .repartition(PARTITIONS)
