@@ -112,13 +112,33 @@ class CuckooFilter:
         fcol = fps[:, None]
         return ((self.table[i1] == fcol) | (self.table[i2] == fcol)).any(axis=1)
 
+    # blob layout: b"CKF1" | uint32-LE n_buckets | saturated byte | table.
+    # n_buckets travels IN the blob so a resumed crawl whose CrawlConfig
+    # changed filter_buckets fails loudly with a config-mismatch message
+    # instead of silently misreshaping the persisted table.
+    _MAGIC = b"CKF1"
+
     def to_bytes(self) -> bytes:
-        return bytes([1 if self.saturated else 0]) + self.table.tobytes()
+        return (
+            self._MAGIC
+            + int(self.n_buckets).to_bytes(4, "little")
+            + bytes([1 if self.saturated else 0])
+            + self.table.tobytes()
+        )
 
     @classmethod
-    def from_bytes(cls, blob: bytes, n_buckets: int = 1 << 12) -> "CuckooFilter":
-        saturated = blob[0] == 1
-        table = np.frombuffer(blob, dtype=np.uint16, offset=1).reshape(
-            n_buckets, SLOTS_PER_BUCKET
+    def from_bytes(cls, blob: bytes, n_buckets: int | None = None) -> "CuckooFilter":
+        if blob[:4] != cls._MAGIC:
+            raise ValueError("not a CKF1 cuckoo-filter blob")
+        stored = int.from_bytes(blob[4:8], "little")
+        if n_buckets is not None and n_buckets != stored:
+            raise ValueError(
+                f"cuckoo filter config mismatch: snapshot was written with "
+                f"filter_buckets={stored}, current CrawlConfig has "
+                f"filter_buckets={n_buckets}; resume with the original value"
+            )
+        saturated = blob[8] == 1
+        table = np.frombuffer(blob, dtype=np.uint16, offset=9).reshape(
+            stored, SLOTS_PER_BUCKET
         ).copy()
-        return cls(n_buckets, table, saturated)
+        return cls(stored, table, saturated)

@@ -35,6 +35,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -75,14 +76,22 @@ def _manifest_path(root: str, epoch: int) -> str:
     return os.path.join(_snap_dir(root, epoch), "_manifest.json")
 
 
+_SNAP_RE = re.compile(r"^snap_(\d{5})$")
+
+
 def last_complete_epoch(root: str) -> int | None:
-    """Largest epoch with a complete snapshot, or None (no seed yet)."""
+    """Largest epoch with a complete snapshot, or None (no seed yet).
+
+    Only strictly-conforming ``snap_NNNNN`` names count — stray entries
+    (``snap_tmp``, editor leftovers) are skipped, not a resume-breaking
+    ValueError."""
     best = None
     if not os.path.isdir(root):
         return None
     for name in os.listdir(root):
-        if name.startswith("snap_"):
-            e = int(name.split("_")[1]) - 1
+        m = _SNAP_RE.match(name)
+        if m:
+            e = int(m.group(1)) - 1
             if os.path.exists(_manifest_path(root, e)):
                 best = e if best is None else max(best, e)
     return best

@@ -177,6 +177,15 @@ def extract_links(html: bytes) -> list[str]:
     ]
 
 
+def _dim(value) -> int:
+    """Defensive dimension parse: real-web width/height attrs carry '100%',
+    '', 'auto', ... — one malformed page must not fail a whole Spark task."""
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return 0
+
+
 def extract_images(html: bytes) -> list[dict]:
     """Document-order (src, caption, w, h) from <img> tags."""
     from mlscraper_spark.dom.parser import parse_html
@@ -185,8 +194,8 @@ def extract_images(html: bytes) -> list[dict]:
         {
             "src": r.attrs.get("src", ""),
             "caption": r.attrs.get("alt", ""),
-            "w": int(r.attrs.get("width", 0)),
-            "h": int(r.attrs.get("height", 0)),
+            "w": _dim(r.attrs.get("width", 0)),
+            "h": _dim(r.attrs.get("height", 0)),
         }
         for r in parse_html(html)
         if r.tag == "img"

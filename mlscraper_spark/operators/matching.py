@@ -112,9 +112,14 @@ def scan_matches(nodes_df: DataFrame, values_df: DataFrame,
 def build_value_match_index(spark: SparkSession, pages: list[tuple[str, bytes]],
                             values: list[str]) -> dict:
     """Run the distributed scan for training (SURVEY.md §3.1 stage 1) and
-    collect the (small, top-k-bounded) result to the driver as
+    collect the result to the driver as
     {(page_key, value): [(node_id, extractor_tuple), ...]} in reference
-    generation order."""
+    generation order.  The collect is unbounded by design: the reference
+    keeps every raw match at this stage too (samples.py:29-48) — pruning
+    happens later, span-ranked, at T1 (training.py:48-51); bounding here
+    would change which combinations exist and break golden parity.  The
+    result is small in practice because training inputs are a handful of
+    sample pages."""
     from mlscraper_spark.operators.explode import explode_pages
 
     pages_df = spark.createDataFrame(

@@ -13,9 +13,10 @@ from __future__ import annotations
 import re
 from itertools import combinations as _combos
 
-from mlscraper_spark.dom.css import PageDOM
+from mlscraper_spark.dom.css import PageDOM, SelectorParseError
 from mlscraper_spark.dom.parser import is_supported_class
 from mlscraper_spark.training.matches import PAGE_ROOT, has_ancestor
+from mlscraper_spark.util import dedupe_preserving_order
 
 # ids are used with #id, classes are used too, rel is too generic
 # (selectors.py:12-13)
@@ -30,9 +31,10 @@ def make_selector_for_classes(class_combination) -> str:
 def _is_plain_attribute_value(v: str) -> bool:
     """Reference guard (selectors.py:184-186): note ``re.match`` only tests
     the first character — reproduced faithfully; we additionally refuse
-    embedded double quotes (they would produce an unparseable rule, which the
-    reference would also choke on at select time)."""
-    return bool(re.match(r"[A-z \-]", v)) and '"' not in v
+    embedded double quotes and square brackets (either would produce an
+    unparseable ``[attr="..."]`` rule — the reference would also choke on
+    such a rule at select time)."""
+    return bool(re.match(r"[A-z \-]", v)) and not any(c in v for c in '"[]')
 
 
 def generate_regular_node_selectors(dom: PageDOM, node_id: int):
@@ -68,12 +70,18 @@ def generate_node_selectors(dom: PageDOM, node_id: int):
     rec = dom.node(node_id)
     if rec.tag in ("html", "body"):
         return
-    selectors = list(dict.fromkeys(generate_regular_node_selectors(dom, node_id)))
+    selectors = dedupe_preserving_order(generate_regular_node_selectors(dom, node_id))
     yield from selectors
     parent = rec.parent_id if rec.parent_id >= 0 else PAGE_ROOT
     for css in selectors:
         if not css.startswith("#"):
-            hits = dom.select(parent, css)
+            try:
+                hits = dom.select(parent, css)
+            except SelectorParseError:
+                # a candidate built from hostile markup (e.g. a class or
+                # attr value our guards let through) must be skipped, not
+                # crash training — parity with the uniqueness-check skip
+                continue
             nth = hits.index(node_id) + 1
             yield f"{css}:nth-child({nth})"
 
@@ -90,7 +98,7 @@ class _PageSelectorIndex:
     def node_selectors(self, node_id: int) -> tuple[str, ...]:
         if node_id not in self._node_sel:
             self._node_sel[node_id] = tuple(
-                dict.fromkeys(generate_node_selectors(self.dom, node_id))
+                dedupe_preserving_order(generate_node_selectors(self.dom, node_id))
             )
         return self._node_sel[node_id]
 
@@ -99,7 +107,9 @@ class _PageSelectorIndex:
         key = (node_id, max_length)
         if key not in self._path_sel:
             self._path_sel[key] = tuple(
-                dict.fromkeys(self._generate_path_selectors(node_id, max_length))
+                dedupe_preserving_order(
+                    self._generate_path_selectors(node_id, max_length)
+                )
             )
         return self._path_sel[key]
 
@@ -121,8 +131,15 @@ class _PageSelectorIndex:
 
 def uniquely_selects(dom: PageDOM, rule: str, root_id: int,
                      node_ids: list[int]) -> bool:
-    """Ordered equality with the limit+1 trick (selectors.py:59-70)."""
-    hits = dom.select(root_id, rule, limit=len(node_ids) + 1)
+    """Ordered equality with the limit+1 trick (selectors.py:59-70).
+
+    An unparseable candidate rule is treated as not-unique (skipped), never
+    an exception — one hostile attribute value must not abort training.
+    """
+    try:
+        hits = dom.select(root_id, rule, limit=len(node_ids) + 1)
+    except SelectorParseError:
+        return False
     return hits == list(node_ids)
 
 

@@ -121,6 +121,27 @@ def test_cuckoo_roundtrip():
     assert again.contains_many(np.array([1, 2, 3, -5, 1 << 60], dtype=np.int64)).all()
 
 
+def test_cuckoo_blob_carries_config():
+    # n_buckets travels in the blob: resuming with a changed filter_buckets
+    # fails loudly instead of silently misreshaping the table
+    flt = CuckooFilter(1 << 8)
+    flt.insert_many([7, 8, 9])
+    blob = flt.to_bytes()
+    assert CuckooFilter.from_bytes(blob).n_buckets == 1 << 8
+    with pytest.raises(ValueError, match="config mismatch"):
+        CuckooFilter.from_bytes(blob, 1 << 10)
+    with pytest.raises(ValueError, match="CKF1"):
+        CuckooFilter.from_bytes(b"garbage-blob")
+
+
+def test_stray_snapshot_names_ignored(tmp_path):
+    # snap_tmp / editor leftovers must not break resume (strict regex)
+    root = tmp_path / "stray"
+    (root / "snap_tmp").mkdir(parents=True)
+    (root / "snap_00001.bak").mkdir()
+    assert last_complete_epoch(str(root)) is None
+
+
 def test_cuckoo_saturation_never_false_negative():
     """Overflow must degrade to maybe-seen-everything, never evict."""
     flt = CuckooFilter(1 << 4)  # 64 slots → guaranteed overflow

@@ -5,6 +5,7 @@ from mlscraper_spark.dom.css import PageDOM
 from mlscraper_spark.dom.parser import parse_html
 from mlscraper_spark.training.matches import PAGE_ROOT
 from mlscraper_spark.training.samples import Sample, SamplePage, TrainingSet
+from mlscraper_spark.training.scrapers import apply_plan_to_html
 from mlscraper_spark.training.selectors import generate_node_selectors
 from mlscraper_spark.training.train import NoScraperFoundException, train_scraper
 
@@ -52,6 +53,27 @@ def test_id_selectors_skip_nth_child():
     sels = _node_selectors(b'<html><body><p id="only">x</p></body></html>', "p")
     assert "#only" in sels
     assert not any(s.startswith("#only:nth-child") for s in sels)
+
+
+def test_bracket_attr_value_never_emitted():
+    # ']' inside an attribute value would yield div[data-k="a]b"] — an
+    # unparseable rule; the plain-value guard must refuse it
+    sels = _node_selectors(
+        b'<html><body><div data-k="a]b">x</div></body></html>', "div"
+    )
+    assert "div[data-k]" in sels
+    assert not any('a]b' in s for s in sels)
+
+
+def test_hostile_attr_value_does_not_crash_training():
+    # regression: training on a page whose attr value embeds ']' used to
+    # surface SelectorParseError (not NoScraperFoundException) out of
+    # train_scraper; must now train fine via another selector
+    p = b'<html><body><div data-k="a]b" class="t">val</div><p>other</p></body></html>'
+    ts = TrainingSet()
+    ts.add_sample(Sample(SamplePage("p1", p), "val"))
+    plan = train_scraper(ts)
+    assert apply_plan_to_html(p, plan) == "val"
 
 
 def test_no_match_exhaustion_raises():
