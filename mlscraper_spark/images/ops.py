@@ -28,19 +28,29 @@ IMAGES_SCHEMA = T.StructType(
 )
 
 
+def default_fmt_policy(image_id: str, w: int, h: int) -> str:
+    """Deterministic format choice: hash parity of the image id."""
+    from mlscraper_spark.crawl.urlnorm import xxhash64
+
+    return "ppm" if xxhash64(image_id.encode()) % 2 == 0 else "dctq"
+
+
 def extract_images_table(pages_df: DataFrame, page_id_col: str = "url_canon",
-                         html_col: str = "html") -> DataFrame:
+                         html_col: str = "html", fmt_policy=None) -> DataFrame:
     """Pages (id, html) → images rows per input_hint.
 
     For each <img>: image_id = src path; pixels are materialized via the
     deterministic synthetic store (make_image — the stand-in for the binary
-    fetch), encoded ppm (lossless) or dctq (lossy, alternating
-    deterministically), phash computed from the *decoded* pixels.
+    fetch), encoded ppm (lossless) or dctq (lossy), phash computed from the
+    *decoded* pixels.  ``fmt_policy(image_id, w, h) -> fmt`` picks the
+    codec; the default is hash-parity of the id.  Oracle-checked queries
+    pass a SQL-expressible policy so the encoded byte counts are verifiable
+    end-to-end against DuckDB (the codec itself is policy-independent).
     """
+    policy = fmt_policy or default_fmt_policy
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mlscraper_spark.crawl.synthweb import extract_images
-        from mlscraper_spark.crawl.urlnorm import xxhash64
         from mlscraper_spark.images.codec import decode, encode, make_image, phash
 
         for pdf in batches:
@@ -49,7 +59,7 @@ def extract_images_table(pages_df: DataFrame, page_id_col: str = "url_canon",
                 for im in extract_images(bytes(html)):
                     image_id = im["src"]
                     w, h = im["w"], im["h"]
-                    fmt = "ppm" if xxhash64(image_id.encode()) % 2 == 0 else "dctq"
+                    fmt = policy(image_id, w, h)
                     img = make_image(image_id, w, h)
                     blob = encode(img, fmt)
                     ph = phash(decode(blob, fmt))

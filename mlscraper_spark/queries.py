@@ -589,6 +589,21 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+_EMB_DIM = 64  # embeddings.parquet vector length (TESTDATA.md)
+
+
+def _cosine_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    """DuckDB cosine that is BIT-IDENTICAL to Spark's ``_cosine``: explicit
+    left-associated double sums in element order (IEEE addition is
+    deterministic given order, and float32→double casts are exact), instead
+    of ``list_cosine_similarity`` whose formula differs at ~1e-15 —
+    enough to flip a row across a threshold between engines."""
+    dot = " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))
+    na = " + ".join(f"{a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE" for i in range(1, dim + 1))
+    nb = " + ".join(f"{b}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))
+    return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
+
+
 def q21_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors (vec_id < 5).
 
@@ -619,12 +634,11 @@ FROM (
                             ORDER BY cos DESC, neighbor_id ASC) AS rn
   FROM (
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           round(list_cosine_similarity(q.embedding::DOUBLE[],
-                                        e.embedding::DOUBLE[]), 4) AS cos
+           round({cos}, 4) AS cos
     FROM embeddings q, embeddings e
     WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id))
 WHERE rn <= 3
-"""
+""".format(cos=_cosine_sql("q.embedding", "e.embedding"))
 
 
 def q22_ann_lsh(spark, sf_dir):
@@ -664,11 +678,10 @@ WITH b AS (
        + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
   FROM embeddings)
 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-       round(list_cosine_similarity(q.embedding::DOUBLE[],
-                                    e.embedding::DOUBLE[]), 4) AS cos
+       round({cos}, 4) AS cos
 FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
 WHERE q.vec_id < 20
-"""
+""".format(cos=_cosine_sql("q.embedding", "e.embedding"))
 
 
 # --------------------------------------------------------------------------
@@ -756,7 +769,11 @@ FROM documents WHERE doc_id % 10 = 0
 def q27_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup dedup: sign-LSH bucketed candidate pairs
     with cosine ≥ 0.25 (threshold fits the random-embedding corpus; the
-    operator shape — LSH bucket join + exact-cosine verify — is the point)."""
+    operator shape — LSH bucket join + exact-cosine verify — is the point).
+
+    The oracle computes cosine with ``_cosine_sql`` — the same left-fold
+    double arithmetic as Spark's ``_cosine`` — so the threshold compare is
+    bit-exact between engines (a boundary pair can never flip the row set)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -792,11 +809,10 @@ WITH b AS (
        + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
   FROM embeddings)
 SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    c.embedding::DOUBLE[]), 4) AS cos
+       round({cos}, 4) AS cos
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.25
-"""
+WHERE {cos} >= 0.25
+""".format(cos=_cosine_sql("a.embedding", "c.embedding"))
 
 
 def q28_tumbling_window(spark, sf_dir):
@@ -879,17 +895,45 @@ FROM documents
 """
 
 
-def q26_image_phash(spark, sf_dir):
-    """Full image rows incl. bytes/fmt/phash — binary payload + perceptual
-    hash are not SQL-expressible, so this entry has no oracle (the driver
-    records the weaker rows-only check); pixel/caption invariants are
-    asserted in tests/test_images.py."""
+def q26_image_codec(spark, sf_dir):
+    """Image *byte-level* pipeline with an exact oracle: fmt chosen by a
+    SQL-expressible policy (doc_id parity) and ``n_bytes = length(bytes)``
+    of the real encoded blob, which DuckDB predicts in closed form —
+    ppm: 9 + len(str(w)) + len(str(h)) + 3*w*h;
+    dctq: 36 + 6 * ceil8(h) * ceil8(w)  (header + 3 channels of int16
+    coefficients over 8×8-padded planes, images/codec.py:88-97).
+
+    phash itself is not SQL-expressible; its invariants (63-bit range,
+    decode→phash stability, PSNR ≥ 40 dB for dctq, bit-exact ppm roundtrip)
+    are pinned in tests/test_images.py over this same path."""
     from mlscraper_spark.images.ops import extract_images_table
 
-    images = extract_images_table(_doc_image_pages(spark, sf_dir))
-    return images.select(
-        "image_id", "fmt", "phash", F.length("bytes").alias("n_bytes")
+    def parity_fmt(image_id: str, w: int, h: int) -> str:
+        return "ppm" if int(image_id.rsplit("/", 1)[-1]) % 2 == 0 else "dctq"
+
+    images = extract_images_table(
+        _doc_image_pages(spark, sf_dir), fmt_policy=parity_fmt
     )
+    return images.select("image_id", "fmt", F.length("bytes").alias("n_bytes"))
+
+
+Q26_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         (16 + (n_chars % 8) * 16)::int AS w,
+         (16 + (n_chars % 5) * 16)::int AS h
+  FROM documents)
+SELECT 'img/' || doc_id::varchar AS image_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'dctq' END AS fmt,
+       CASE WHEN doc_id % 2 = 0
+            -- P6 header "P6 {w} {h} 255\\n" + 3 bytes/pixel
+            THEN 9 + length(w::varchar) + length(h::varchar) + 3 * w * h
+            -- "DCTQ" + w,h int32 + 3 x (H,W int32 + int16 coeff plane
+            -- over 8x8-padded dims)
+            ELSE 36 + 6 * (((h + 7) // 8) * 8) * (((w + 7) // 8) * 8)
+       END::int AS n_bytes
+FROM dims
+"""
 
 
 # --------------------------------------------------------------------------
@@ -922,7 +966,7 @@ QUERIES: dict[str, Callable] = {
     "q23_extract_scraper": q23_extract_scraper,
     "q24_match_scan": q24_match_scan,
     "q25_images_meta": q25_images_meta,
-    "q26_image_phash": q26_image_phash,
+    "q26_image_codec": q26_image_codec,
     "q27_embedding_neardup": q27_embedding_neardup,
     "q28_tumbling_window": q28_tumbling_window,
 }
@@ -953,7 +997,7 @@ ORACLE_SQL: dict[str, str] = {
     "q23_extract_scraper": Q23_SQL,
     "q24_match_scan": Q24_SQL,
     "q25_images_meta": Q25_SQL,
-    # q26_image_phash intentionally has no oracle: binary payload + phash
+    "q26_image_codec": Q26_SQL,
     "q27_embedding_neardup": Q27_SQL,
     "q28_tumbling_window": Q28_SQL,
 }

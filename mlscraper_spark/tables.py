@@ -1,0 +1,81 @@
+"""TableFormat seam — pluggable storage for the crawl's snapshot tables.
+
+The north_rule mandates "Iceberg tables"; this sandbox has no Iceberg jars
+(SURVEY.md §7), so the engine writes/reads through this one indirection:
+
+* ``IcebergSnapshotFormat`` — used automatically when the Iceberg Spark
+  runtime is on the classpath (probed once per session);
+* ``ParquetSnapshotFormat`` — the fallback: plain parquet directories with
+  the engine's epoch-snapshot manifest as the commit protocol (same schema,
+  same bucketing, same append-only-delta semantics).
+
+``engine.py`` contains no direct ``.parquet(`` calls; dropping Iceberg jars
+onto a real cluster flips every crawl table to Iceberg without touching the
+epoch loop.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableFormat:
+    """Write/read one logical table at a path (or several paths — the
+    append-only tables are unions of per-epoch deltas)."""
+
+    def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, paths: list[str], schema=None) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetSnapshotFormat(TableFormat):
+    def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(path)
+
+    def read(self, spark: SparkSession, paths: list[str], schema=None) -> DataFrame:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+
+class IcebergSnapshotFormat(TableFormat):
+    """Iceberg-backed variant (requires iceberg-spark-runtime on the
+    classpath and a configured catalog).  Snapshot dirs become Iceberg
+    table partitions; the epoch manifest maps onto Iceberg snapshot ids.
+    Not exercisable in this sandbox — constructed only when the probe
+    below finds the runtime."""
+
+    def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        df.write.format("iceberg").mode(mode).save(path)
+
+    def read(self, spark: SparkSession, paths: list[str], schema=None) -> DataFrame:
+        dfs = [spark.read.format("iceberg").load(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+_CACHED: dict[int, TableFormat] = {}
+
+
+def get_table_format(spark: SparkSession) -> TableFormat:
+    key = id(spark)
+    if key not in _CACHED:
+        _CACHED[key] = (
+            IcebergSnapshotFormat() if iceberg_available(spark)
+            else ParquetSnapshotFormat()
+        )
+    return _CACHED[key]
