@@ -54,28 +54,50 @@ class CuckooFilter:
 
     def insert_many(self, hashes) -> int:
         """Insert url_hashes (int64 array); returns number failed (filter
-        full — callers fall back to the exact join, correctness unaffected)."""
+        full — callers fall back to the exact join, correctness unaffected).
+
+        Vectorized fast path (this runs per host_bucket on EVERY epoch's
+        fetched URLs): one membership precheck, then a bulk scatter into
+        the primary buckets and another into the alternate buckets —
+        slot = bucket_fill + rank-within-bucket computed from a stable
+        argsort, so all writes of a round hit distinct (bucket, slot)
+        pairs.  Only the rare both-buckets-full residue walks the per-item
+        kick loop.  The result is a deterministic function of the input
+        order (callers pass sorted hashes → blob bytes are a pure function
+        of the hash set; fingerprints stay comparable across reruns and
+        resume).  Occupied slots always form a per-bucket prefix (inserts
+        only, kicks swap in place), so fill == first empty slot index."""
         h = np.asarray(hashes, dtype=np.int64).view(np.uint64).astype(np.int64)
+        if h.size == 0:
+            return 0
         fps = self._fingerprint(h)
         i1s = self._index1(h)
-        failed = 0
+        i2s = self._index2(i1s, fps)
         t = self.table
-        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
-            i2 = int(self._index2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
-            if fp in t[i1] or fp in t[i2]:
-                continue  # already present (or colliding) — fine for a filter
-            placed = False
-            for idx in (i1, i2):
-                empty = np.where(t[idx] == EMPTY)[0]
-                if len(empty):
-                    t[idx][empty[0]] = fp
-                    placed = True
-                    break
-            if placed:
-                continue
+        # membership precheck (presence or same-fp collision — fine for a
+        # filter; in-batch fp duplicates both land, harmless occupancy)
+        fcol = fps[:, None]
+        present = (t[i1s] == fcol).any(axis=1) | (t[i2s] == fcol).any(axis=1)
+        rem = np.flatnonzero(~present)
+        for buckets_of in (i1s, i2s):
+            if rem.size == 0:
+                break
+            b = buckets_of[rem]
+            order = np.argsort(b, kind="stable")
+            bs, items = b[order], rem[order]
+            fill = (t[bs] != EMPTY).sum(axis=1)
+            first = np.r_[True, bs[1:] != bs[:-1]]
+            run_starts = np.flatnonzero(first)
+            rank = np.arange(len(bs)) - run_starts[np.cumsum(first) - 1]
+            slot = fill + rank
+            ok = slot < SLOTS_PER_BUCKET
+            t[bs[ok], slot[ok]] = fps[items[ok]]
+            rem = np.sort(items[~ok])
+        failed = 0
+        for item in rem.tolist():
             # kick loop, with an undo trail: on failure every displacement
             # is reverted so existing entries are never evicted
-            cur_i, cur_fp = i1, fp
+            cur_i, cur_fp = int(i1s[item]), int(fps[item])
             rng_state = cur_fp
             trail: list[tuple[int, int, int]] = []  # (bucket, slot, old_fp)
             for _ in range(MAX_KICKS):
@@ -93,8 +115,8 @@ class CuckooFilter:
                     t[cur_i][empty[0]] = cur_fp
                     break
             else:
-                for b, s, old in reversed(trail):
-                    t[b][s] = old
+                for bkt, s, old in reversed(trail):
+                    t[bkt][s] = old
                 self.saturated = True
                 failed += 1
         return failed

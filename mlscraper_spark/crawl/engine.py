@@ -5,34 +5,46 @@ politeness token buckets, robots cache, partitioned cuckoo URL-seen filter,
 priority-queue semantics — matching the sequential oracle (crawl/oracle.py)
 bit-for-bit on fetch order and the final URL-seen set.
 
-Design (SURVEY.md §7.4):
+Design (SURVEY.md §7.4), round-2 architecture:
 
-* **State lives in epoch snapshots on disk** (parquet dirs with a JSON
-  manifest — the Iceberg-snapshot pattern with a format-pluggable fallback).
-  Each epoch reads only the previous snapshot, so kill-and-resume is free
-  and exact (tested).
-* **Politeness** (T6): per-host budget enforced by a window top-k under the
-  total order (priority DESC, url_hash ASC, url_canon ASC).
-* **Global fetch order**: the same total order across all selected URLs;
-  ``seq`` via row_number.  The global window is a single-partition sort of
-  ≤ (hosts × budget) rows per epoch — bounded by the politeness budget, not
-  by frontier size; at cluster scale swap for sort + zipWithIndex.
-* **URL-seen** (P10): per-host_bucket cuckoo filters split candidates into
-  "definitely new" (skip the join) and "maybe seen" (exact anti-join
-  against url_seen — the ground truth, so filter false positives cost time,
-  never correctness).
-* **Skew**: everything keyed by ``host_bucket = pmod(xxhash64(host), NB)``;
-  AQE skew-join handles residual imbalance.
+* **State lives in epoch snapshots on disk** behind the ``TableFormat``
+  seam (``mlscraper_spark/tables.py``: Iceberg when the runtime jar is
+  present, parquet dirs + JSON manifest otherwise).  Each epoch reads only
+  the previous snapshot, so kill-and-resume is free and exact (tested).
+* **Frontier is a bucket-manifested table**: rows are bucketed by
+  ``host_bucket``; the epoch manifest maps each bucket to the snapshot
+  that last rewrote it (``frontier_refs``).  An epoch rewrites ONLY the
+  dirty buckets (those with fetched rows or vetted discoveries); clean
+  buckets carry forward by manifest reference with zero I/O and zero
+  shuffle — the Iceberg snapshot/manifest pattern.  A ref chain longer
+  than ``max_ref_span`` snapshots triggers a full compaction rewrite.
+* **Politeness** (T6) is a two-phase top-k: phase 1 computes per-host
+  top-budget *within each scan partition* in one Arrow stage (no
+  Exchange over the frontier — provably a superset of the global answer
+  for any partition layout); phase 2 is an exact window top-k over the
+  small phase-1 output.  The frontier is never shuffled whole.
+* **Global fetch order**: ``seq`` via a deterministic static partition id
+  ``depth * K + hash_range_bucket(url_hash)`` (url_hash is xxhash64 —
+  uniform, so static equal-width ranges balance), local rank per pid, and
+  per-pid offsets joined back broadcast.  No RangePartitioner sampling →
+  no lineage-cut checkpoint needed; recomputation is bit-stable.
+* **URL-seen** (P10): per-host_bucket cuckoo filters split *discovery
+  deltas* (never the whole frontier — rows already in the frontier are
+  unseen by construction) into "definitely new" (skip the join) and
+  "maybe seen" (exact anti-join against url_seen — the ground truth, so
+  filter false positives cost time, never correctness).
+* **Skew**: everything keyed by ``host_bucket = pmod(xxhash64(host),
+  NB)``; AQE skew-join handles residual imbalance.
 * **Frontier merge**: per URL keep (MIN depth, MIN discovered_epoch) —
   associative and commutative, so any partitioning yields the oracle's
-  result.
+  result; applied only to dirty buckets.
 
-No per-row Python on the hot paths: hashing/bucketing/priority/ordering are
-JVM expressions; canonicalize + fetch + parse run in Arrow-batched UDFs.
+No per-row Python on the hot paths: hashing/bucketing/priority/ordering
+are JVM expressions; canonicalize + fetch + parse + politeness phase 1
+run in Arrow-batched UDFs with pandas-vectorized inner loops.
 """
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import re
@@ -45,6 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mlscraper_spark.crawl.synthweb import WebConfig
+from mlscraper_spark.tables import TableFormat, get_table_format
 
 FRONTIER_SCHEMA = (
     "url_canon string, url_hash long, host string, host_bucket int, "
@@ -55,6 +68,8 @@ FETCHLOG_SCHEMA = (
     "epoch int, seq int, url_canon string, host string, status int, "
     "n_links int, n_images int"
 )
+FILTERS_SCHEMA = "host_bucket int, blob binary, fingerprint string"
+ROBOTS_SCHEMA = "host string, rules_json string, fetched_epoch int"
 
 
 @dataclass(frozen=True)
@@ -65,6 +80,10 @@ class CrawlConfig:
     fetch_partitions: int = 128  # fetch-stage parallelism (independent of
     # n_buckets: politeness is enforced before the fetch, so any even
     # partitioning is sound; url_hash keying spreads heavy hosts)
+    max_ref_span: int = 8  # frontier refs may span at most this many
+    # snapshots before a full compaction rewrite (bounds manifest-chain
+    # length and lets old snapshots expire — Iceberg snapshot-expiry
+    # analog)
 
 
 def _snap_dir(root: str, epoch: int) -> str:
@@ -97,6 +116,47 @@ def last_complete_epoch(root: str) -> int | None:
     return best
 
 
+def _read_manifest(root: str, epoch: int) -> dict:
+    with open(_manifest_path(root, epoch)) as f:
+        return json.load(f)
+
+
+def _frontier_refs(root: str, epoch: int) -> dict[int, int]:
+    """bucket → epoch whose snapshot's frontier table holds its rows."""
+    m = _read_manifest(root, epoch)
+    return {int(k): int(v) for k, v in m.get("frontier_refs", {}).items()}
+
+
+def read_frontier(spark: SparkSession, root: str, epoch: int,
+                  buckets: list[int] | None = None) -> DataFrame:
+    """Assemble the frontier at a snapshot from its bucket refs.
+
+    ``buckets`` restricts the read to those host_buckets (the dirty set of
+    a delta merge); file-level min/max stats on host_bucket prune the scan
+    because each snapshot's frontier files are written repartitioned by
+    bucket."""
+    fmt = get_table_format(spark)
+    refs = _frontier_refs(root, epoch)
+    if buckets is not None:
+        refs = {b: e for b, e in refs.items() if b in set(buckets)}
+    by_epoch: dict[int, list[int]] = {}
+    for b, e in refs.items():
+        by_epoch.setdefault(e, []).append(b)
+    parts = []
+    for e, bs in sorted(by_epoch.items()):
+        scan = fmt.read(
+            spark, [os.path.join(_snap_dir(root, e), "frontier")],
+            FRONTIER_SCHEMA,
+        )
+        parts.append(scan.filter(F.col("host_bucket").isin(bs)))
+    if not parts:
+        return spark.createDataFrame([], FRONTIER_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _with_host_bucket(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return df.withColumn(
         "host_bucket", F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)).cast("int")
@@ -104,29 +164,41 @@ def _with_host_bucket(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 
 def _canonicalize_udf(raw_col: str):
-    """Arrow-batched canonicalization (F11): raw href → (url_canon, host, path)."""
+    """Arrow-batched canonicalization (F11): raw href → (url_canon, host, path).
+
+    Vectorized fast path for the dominant URL shape (scheme://host/path,
+    no port/query/fragment/userinfo) via pandas C-regex ops; only the
+    residue goes through the per-row urlsplit canonicalizer.  The fast
+    path is proven equal to ``canonicalize`` by a property test
+    (tests/test_urlnorm.py)."""
 
     @F.pandas_udf("struct<url_canon:string,host:string,path:string>")
     def _canon(raw: pd.Series) -> pd.DataFrame:
-        from urllib.parse import urlsplit
+        from mlscraper_spark.crawl.urlnorm import canonicalize_series
 
-        from mlscraper_spark.crawl.urlnorm import canonicalize
-
-        canons = raw.map(canonicalize)
-        return pd.DataFrame(
-            {
-                "url_canon": canons,
-                "host": canons.map(lambda c: urlsplit(c).netloc),
-                "path": canons.map(lambda c: urlsplit(c).path),
-            }
-        )
+        return canonicalize_series(raw)
 
     return _canon(F.col(raw_col))
+
+
+def _write_frontier(fmt: TableFormat, df: DataFrame, snap: str,
+                    n_buckets: int) -> None:
+    """Frontier files are repartitioned by host_bucket (one bucket never
+    spans tasks → tight file stats for bucket-pruned reads) and sorted by
+    the politeness order within partitions so phase-1 top-k scans
+    pre-sorted runs."""
+    fmt.write(
+        df.repartition(n_buckets, "host_bucket").sortWithinPartitions(
+            "host", F.desc("priority"), F.asc("url_hash"), F.asc("url_canon")
+        ),
+        os.path.join(snap, "frontier"),
+    )
 
 
 def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
                cfg: CrawlConfig) -> None:
     """Write the epoch=-1 snapshot: seeded frontier, empty everything else."""
+    fmt = get_table_format(spark)
     raw = spark.createDataFrame([(s,) for s in seeds], "raw string")
     c = raw.select(_canonicalize_udf("raw").alias("c")).select("c.*")
     frontier = (
@@ -140,19 +212,27 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     frontier = _filter_robots(frontier, robots).select(
         "url_canon", "url_hash", "host", "host_bucket",
         "priority", "depth", "discovered_epoch",
-    ).dropDuplicates(["url_canon"])
+    ).dropDuplicates(["url_canon"]).cache()
+    buckets = sorted(
+        r.host_bucket for r in frontier.select("host_bucket").distinct().collect()
+    )
 
     d = _snap_dir(root, -1)
-    frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-    spark.createDataFrame([], SEEN_SCHEMA).write.mode("overwrite").parquet(
-        os.path.join(d, "url_seen_delta")
-    )
-    robots.write.mode("overwrite").parquet(os.path.join(d, "robots_delta"))
-    spark.createDataFrame(
-        [], "host_bucket int, blob binary"
-    ).write.mode("overwrite").parquet(os.path.join(d, "filters"))
+    _write_frontier(fmt, frontier, d, cfg.n_buckets)
+    frontier.unpersist()
+    fmt.write(spark.createDataFrame([], SEEN_SCHEMA),
+              os.path.join(d, "url_seen_delta"))
+    fmt.write(robots, os.path.join(d, "robots_delta"))
+    fmt.write(spark.createDataFrame([], FILTERS_SCHEMA), os.path.join(d, "filters"))
     with open(_manifest_path(root, -1), "w") as f:
-        json.dump({"epoch": -1, "seeds": len(seeds)}, f)
+        json.dump(
+            {
+                "epoch": -1,
+                "seeds": len(seeds),
+                "frontier_refs": {str(b): -1 for b in buckets},
+            },
+            f,
+        )
 
 
 def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
@@ -172,9 +252,7 @@ def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
                 }
             )
 
-    return hosts_df.select("host").distinct().mapInPandas(
-        _rules, "host string, rules_json string, fetched_epoch int"
-    )
+    return hosts_df.select("host").distinct().mapInPandas(_rules, ROBOTS_SCHEMA)
 
 
 def _filter_robots(df: DataFrame, robots: DataFrame) -> DataFrame:
@@ -190,6 +268,120 @@ def _filter_robots(df: DataFrame, robots: DataFrame) -> DataFrame:
     rules = F.from_json(F.coalesce(F.col("rules_json"), F.lit("[]")), "array<string>")
     blocked = F.exists(rules, lambda p: F.col("path").startswith(p))
     return joined.filter(~blocked).drop("path", "rules_json")
+
+
+# ---------------------------------------------------------------------------
+# politeness (T6): two-phase per-host top-k — no Exchange over the frontier
+# ---------------------------------------------------------------------------
+
+_ORDER_COLS = ["priority", "url_hash", "url_canon"]
+_ORDER_ASC = [False, True, True]
+
+
+def _pdf_topk(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    pdf = pdf.sort_values(_ORDER_COLS, ascending=_ORDER_ASC, kind="mergesort")
+    return pdf[pdf.groupby("host").cumcount() < budget]
+
+
+def _politeness_select(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Per-host top-budget under (priority DESC, url_hash, url_canon).
+
+    Phase 1 (Arrow stage over the scan, no shuffle): per-partition per-host
+    top-budget.  The union of per-partition winners is a superset of the
+    global winners for ANY row→partition assignment, so phase 2 — an exact
+    window top-k over that small union — yields exactly the oracle's
+    selection.  The frontier itself is never exchanged; when stored
+    buckets keep hosts partition-local (the layout ``_write_frontier``
+    produces), phase 1 already emits the exact answer and phase 2's
+    shuffle moves only ~budget×hosts rows."""
+    budget = cfg.budget_per_host
+    cols = frontier.columns
+
+    def _phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-batch local top-k, merged in 64k-row chunks — amortized ~2
+        # sorts per row regardless of Arrow batch size, memory bounded by
+        # the chunk threshold + one batch
+        parts: list[pd.DataFrame] = []
+        size = 0
+        for pdf in batches:
+            t = _pdf_topk(pdf, budget)
+            parts.append(t)
+            size += len(t)
+            if size > 65536:
+                merged = _pdf_topk(pd.concat(parts, ignore_index=True), budget)
+                parts, size = [merged], len(merged)
+        if parts:
+            out = (
+                _pdf_topk(pd.concat(parts, ignore_index=True), budget)
+                if len(parts) > 1
+                else parts[0]
+            )
+            yield out[cols]
+
+    local = frontier.mapInPandas(
+        _phase1, ", ".join(f"{c} {t}" for c, t in frontier.dtypes)
+    )
+    w_host = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("url_hash"), F.asc("url_canon")
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w_host))
+        .filter(F.col("rn") <= budget)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global fetch order (seq)
+# ---------------------------------------------------------------------------
+
+
+def _assign_global_seq(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Deterministic global ``seq`` under the total order (priority DESC ⇔
+    depth ASC, url_hash ASC, url_canon ASC) without a single-partition
+    window and without sampling:
+
+    * pid = depth·K + hash_range_bucket(url_hash) — a pure FUNCTION of the
+      row (url_hash is xxhash64, uniform over int64, so K static
+      equal-width ranges balance); pid ascending ⇔ order-prefix ascending;
+    * rank locally per pid, count per pid, cumulative offsets joined back
+      via a broadcast join (a when()-chain or RangePartitioner would be
+      pathological / nondeterministic at cluster partition counts).
+
+    Unlike range partitioning there is no sampled boundary state: any
+    recomputation reproduces identical pids, ranks and offsets, so no
+    lineage cut is needed for exactness under task retries."""
+    k = 1
+    while (1 << k) < spark.sparkContext.defaultParallelism * 2:
+        k += 1
+    K = 1 << k
+    bucket = F.shiftright(F.col("url_hash"), 64 - k) + F.lit(1 << (k - 1))
+    ranked = df.withColumn(
+        "_pid", F.col("depth").cast("long") * K + bucket
+    )
+    w = Window.partitionBy("_pid").orderBy(F.asc("url_hash"), F.asc("url_canon"))
+    ranked = ranked.withColumn("_rn", F.row_number().over(w))
+    counts = {
+        r._pid: r.cnt
+        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        return ranked.withColumn("seq", F.lit(0)).drop("_pid", "_rn").limit(0)
+    off_df = spark.createDataFrame(offsets, "_pid long, _off long")
+    return (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .withColumn("seq", (F.col("_off") + F.col("_rn") - 1).cast("int"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fetch + cuckoo stages
+# ---------------------------------------------------------------------------
 
 
 def _fetch_udf(web: WebConfig):
@@ -231,17 +423,17 @@ def _fetch_udf(web: WebConfig):
 
 
 def _split_by_filter(cand: DataFrame, filters: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Cuckoo fast path: adds ``maybe_seen`` (False ⇒ definitely new)."""
-    cols = cand.columns
+    """Cuckoo fast path: adds ``maybe_seen`` (False ⇒ definitely new).
+    Applied to the DISCOVERY DELTA only — frontier rows are unseen by
+    construction (they're removed when fetched, and seen URLs never
+    enter)."""
     out_schema = ", ".join(f"{c} {t}" for c, t in cand.dtypes) + ", maybe_seen boolean"
 
-    def _check(key, cand_pdfs, filter_pdfs):
+    def _check(key, cand_pdf, blob_rows):
         import numpy as np
 
         from mlscraper_spark.crawl.cuckoo import CuckooFilter
 
-        cand_pdf = cand_pdfs
-        blob_rows = filter_pdfs
         if len(blob_rows) and blob_rows["blob"].iloc[0] is not None:
             flt = CuckooFilter.from_bytes(
                 bytes(blob_rows["blob"].iloc[0]), cfg.filter_buckets
@@ -254,15 +446,20 @@ def _split_by_filter(cand: DataFrame, filters: DataFrame, cfg: CrawlConfig) -> D
         return cand_pdf
 
     return cand.groupBy("host_bucket").cogroup(
-        filters.groupBy("host_bucket")
+        filters.select("host_bucket", "blob").groupBy("host_bucket")
     ).applyInPandas(_check, out_schema)
 
 
 def _update_filters(filters: DataFrame, new_hashes: DataFrame,
                     cfg: CrawlConfig) -> DataFrame:
-    """Insert this epoch's fetched url_hashes into each bucket's filter."""
+    """Insert this epoch's fetched url_hashes into each bucket's filter.
+    The blob's md5 fingerprint (per-partition lineage, north_rule) is
+    computed here in the worker — the manifest step collects the tiny
+    (bucket, fingerprint) pairs instead of re-reading blobs."""
 
     def _upd(key, blob_pdf, hash_pdf):
+        import hashlib
+
         import numpy as np
 
         from mlscraper_spark.crawl.cuckoo import CuckooFilter
@@ -281,70 +478,39 @@ def _update_filters(filters: DataFrame, new_hashes: DataFrame,
             flt.insert_many(
                 np.sort(hash_pdf["url_hash"].to_numpy(np.int64))
             )
-        return pd.DataFrame({"host_bucket": [int(key[0])], "blob": [flt.to_bytes()]})
+        blob = flt.to_bytes()
+        return pd.DataFrame(
+            {
+                "host_bucket": [int(key[0])],
+                "blob": [blob],
+                "fingerprint": [hashlib.md5(blob).hexdigest()],
+            }
+        )
 
-    return filters.groupBy("host_bucket").cogroup(
+    return filters.select("host_bucket", "blob").groupBy("host_bucket").cogroup(
         new_hashes.select("host_bucket", "url_hash").groupBy("host_bucket")
-    ).applyInPandas(_upd, "host_bucket int, blob binary")
+    ).applyInPandas(_upd, FILTERS_SCHEMA)
 
 
 def read_url_seen(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
     """Union of the append-only url_seen deltas (Iceberg-snapshot shape)."""
+    fmt = get_table_format(spark)
     paths = [
         os.path.join(_snap_dir(root, e), "url_seen_delta")
         for e in range(-1, upto_epoch + 1)
     ]
-    return spark.read.schema(SEEN_SCHEMA).parquet(*paths)
-
-
-ROBOTS_SCHEMA = "host string, rules_json string, fetched_epoch int"
+    return fmt.read(spark, paths, SEEN_SCHEMA)
 
 
 def read_robots(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
     """Union of the append-only robots deltas (one row per first-seen host)."""
+    fmt = get_table_format(spark)
     paths = [
         p
         for e in range(-1, upto_epoch + 1)
         if os.path.isdir(p := os.path.join(_snap_dir(root, e), "robots_delta"))
     ]
-    return spark.read.schema(ROBOTS_SCHEMA).parquet(*paths)
-
-
-def _assign_global_seq(spark: SparkSession, df: DataFrame, order) -> DataFrame:
-    """Deterministic global ``seq`` under a total order, without a
-    single-partition window: range-partition by the order keys, rank
-    locally, then add per-partition offsets (a tiny collected cumsum).
-    A 1M-row epoch showed the naive global row_number costing ~15s of
-    *serial* sort per epoch; this form is fully parallel and yields the
-    identical sequence (the order keys end in the unique url_canon)."""
-    p = max(2, spark.sparkContext.defaultParallelism)
-    ranged = df.repartitionByRange(p, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy(*order)
-    # localCheckpoint CUTS LINEAGE: RangePartitioner's sampling may draw
-    # different bounds on recomputation, which would silently invalidate the
-    # offsets collected below; with lineage cut, partition loss fails the
-    # epoch (safe — snapshots make retry exact) instead of corrupting seq
-    ranked = (
-        ranged.withColumn("_rn", F.row_number().over(w))
-        .localCheckpoint(eager=True)
-    )
-    counts = dict(
-        (r._pid, r.cnt)
-        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    # tiny map → literal CASE expression (broadcast-equivalent)
-    off_col = F.lit(0)
-    for pid, off in offsets.items():
-        off_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_col)
-    return ranked.withColumn(
-        "seq", (off_col + F.col("_rn") - 1).cast("int")
-    ).drop("_pid", "_rn")
+    return fmt.read(spark, paths, ROBOTS_SCHEMA)
 
 
 def _trace(label: str, t0: float) -> float:
@@ -357,32 +523,34 @@ def _trace(label: str, t0: float) -> float:
     return t
 
 
+# ---------------------------------------------------------------------------
+# the epoch
+# ---------------------------------------------------------------------------
+
+
 def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
               cfg: CrawlConfig) -> int:
     """Run one BSP epoch; returns number of URLs fetched."""
     import time as _time
 
     _t = _time.time()
+    fmt = get_table_format(spark)
     prev = _snap_dir(root, epoch - 1)
-    frontier = spark.read.parquet(os.path.join(prev, "frontier"))
+    refs = _frontier_refs(root, epoch - 1)
+    frontier = read_frontier(spark, root, epoch - 1)
     robots = read_robots(spark, root, epoch - 1)
-    filters = spark.read.parquet(os.path.join(prev, "filters"))
+    filters = fmt.read(spark, [os.path.join(prev, "filters")], FILTERS_SCHEMA)
     url_seen = read_url_seen(spark, root, epoch - 1)
 
     # ---- politeness top-k (T6) + global fetch order --------------------
-    order = [F.desc("priority"), F.asc("url_hash"), F.asc("url_canon")]
-    w_host = Window.partitionBy("host").orderBy(*order)
-    selected = (
-        frontier.withColumn("rn", F.row_number().over(w_host))
-        .filter(F.col("rn") <= cfg.budget_per_host)
-        .drop("rn")
-    )
-    selected = _assign_global_seq(spark, selected, order).cache()
+    selected = _assign_global_seq(
+        spark, _politeness_select(frontier, cfg)
+    ).cache()
     n_selected = selected.count()
     _t = _trace("select", _t)
     if n_selected == 0:
         selected.unpersist()
-        _write_empty_epoch(spark, root, epoch, frontier, robots, filters)
+        _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt)
         return 0
 
     # caches created below are released in the finally block even when a
@@ -390,17 +558,17 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     _caches = [selected]
     try:
         return _run_epoch_body(
-            spark, root, epoch, web, cfg, frontier, robots, filters,
-            url_seen, selected, n_selected, _caches, _t,
+            spark, root, epoch, web, cfg, refs, robots, filters,
+            url_seen, selected, n_selected, _caches, _t, fmt,
         )
     finally:
         for df_ in _caches:
             df_.unpersist()
 
 
-def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
-                    url_seen, selected, n_selected, _caches, _t):
-    # ---- fetch + parse (S4, Arrow-batched, partitioned by host bucket) --
+def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
+                    url_seen, selected, n_selected, _caches, _t, fmt):
+    # ---- fetch + parse (S4, Arrow-batched, spread by url_hash) ---------
     fetch_fn, fetch_schema = _fetch_udf(web)
     # 4 waves per core, capped by config — partition count never changes
     # results (politeness is enforced upstream), only task granularity
@@ -421,11 +589,13 @@ def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
         "status", "n_links", "n_images",
     )
 
-    # ---- discoveries: canonicalize, robots-filter, merge (F11/J8) ------
+    # ---- discoveries: canonicalize, robots-filter, dedup (F11/J8) ------
     raw_links = fetched.select("depth", F.explode("links").alias("raw"))
     disc = raw_links.select(
         (F.col("depth") + 1).alias("depth"), _canonicalize_udf("raw").alias("c")
-    ).select("depth", "c.url_canon", "c.host")
+    ).select("depth", "c.url_canon", "c.host").filter(
+        F.col("url_canon").isNotNull()  # unparseable hrefs are not links
+    )
     robots_new = _robots_rules_df(
         spark,
         disc.select("host").join(robots.select("host"), "host", "left_anti"),
@@ -438,28 +608,64 @@ def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
     disc = _with_host_bucket(disc, cfg).withColumn(
         "url_hash", F.xxhash64("url_canon")
     ).withColumn("discovered_epoch", F.lit(epoch + 1))
+    # dedup within the epoch's delta under the oracle's merge rule
+    adds = disc.groupBy("url_canon").agg(
+        F.first("url_hash").alias("url_hash"),
+        F.first("host").alias("host"),
+        F.first("host_bucket").alias("host_bucket"),
+        F.min("depth").alias("depth"),
+        F.min("discovered_epoch").alias("discovered_epoch"),
+    )
 
     # ---- url_seen delta + cuckoo update (P10/E5) ------------------------
     seen_delta = selected.select(
         "url_canon", "url_hash", "host_bucket", F.lit(epoch).alias("seen_epoch")
     )
     url_seen_all = url_seen.unionByName(seen_delta)
-    # cache: consumed by both the cuckoo split and the snapshot write —
-    # without it the blob rebuild cogroup runs twice per epoch
+    # cache: consumed by the cuckoo split and the snapshot write — without
+    # it the blob rebuild cogroup runs twice per epoch
     filters_new = _update_filters(filters, seen_delta, cfg).cache()
     _caches.append(filters_new)
 
-    # ---- frontier merge: (old ∖ fetched) ∪ discoveries, min-rules -------
-    cand = (
-        frontier.select(
-            "url_canon", "url_hash", "host", "host_bucket", "depth",
-            "discovered_epoch",
-        )
-        .unionByName(
-            disc.select(
+    # ---- seen-check the DELTA only (P10): cuckoo split + exact backstop -
+    flagged = _split_by_filter(adds, filters_new, cfg)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survived = maybe.join(
+        url_seen_all.select("url_canon"), "url_canon", "left_anti"
+    )
+    vetted = definitely_new.unionByName(survived).cache()
+    _caches.append(vetted)
+
+    # ---- delta merge: rewrite DIRTY buckets only -------------------------
+    sel_buckets = {
+        r.host_bucket for r in selected.select("host_bucket").distinct().collect()
+    }
+    add_buckets = {
+        r.host_bucket for r in vetted.select("host_bucket").distinct().collect()
+    }
+    dirty = sorted(sel_buckets | add_buckets)
+    new_refs = {b: e for b, e in refs.items()}
+    for b in dirty:
+        new_refs[b] = epoch
+    if len(set(new_refs.values())) > cfg.max_ref_span:
+        # compaction: rewrite every bucket into this snapshot so the ref
+        # chain stays short and old snapshots can be expired
+        dirty = sorted(set(refs) | set(dirty))
+        new_refs = {b: epoch for b in dirty}
+    _t = _trace("plan-delta", _t)
+
+    old_dirty = read_frontier(spark, root, epoch - 1, buckets=dirty)
+    surviving = old_dirty.join(
+        F.broadcast(selected.select("url_canon")), "url_canon", "left_anti"
+    )
+    frontier_dirty = (
+        surviving.unionByName(
+            vetted.select(
                 "url_canon", "url_hash", "host", "host_bucket", "depth",
                 "discovered_epoch",
-            )
+            ).withColumn("priority", F.lit(1.0) / (1.0 + F.col("depth")))
+            .select(*surviving.columns)
         )
         .groupBy("url_canon")
         .agg(
@@ -469,23 +675,12 @@ def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
             F.min("depth").alias("depth"),
             F.min("discovered_epoch").alias("discovered_epoch"),
         )
+        .withColumn("priority", F.lit(1.0) / (1.0 + F.col("depth")))
+        .select(
+            "url_canon", "url_hash", "host", "host_bucket", "priority",
+            "depth", "discovered_epoch",
+        )
     )
-    # cache: both branches below consume the same cuckoo-cogroup output
-    flagged = _split_by_filter(cand, filters_new, cfg).cache()
-    _caches.append(flagged)
-    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    survived = maybe.join(
-        url_seen_all.select("url_canon"), "url_canon", "left_anti"
-    )
-    frontier_next = definitely_new.unionByName(survived).withColumn(
-        "priority", F.lit(1.0) / (1.0 + F.col("depth"))
-    ).select(
-        "url_canon", "url_hash", "host", "host_bucket", "priority", "depth",
-        "discovered_epoch",
-    )
-
-    _t = _trace("plan-merge", _t)
 
     # ---- metrics (A8) ----------------------------------------------------
     metrics = fetched.groupBy("host_bucket").agg(
@@ -500,7 +695,6 @@ def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
     # after every table commit succeeds, so resume safety is unchanged
     d = _snap_dir(root, epoch)
     writes = [
-        (frontier_next, "frontier"),
         (seen_delta, "url_seen_delta"),
         (fetch_log, "fetch_log"),
         (robots_new, "robots_delta"),
@@ -509,14 +703,12 @@ def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
     ]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-        futs = [
+    with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
+        futs = [pool.submit(_write_frontier, fmt, frontier_dirty, d,
+                            max(1, len(dirty)))]
+        futs += [
             pool.submit(
-                lambda df, name: df.write.mode("overwrite").parquet(
-                    os.path.join(d, name)
-                ),
-                df,
-                name,
+                lambda df, name: fmt.write(df, os.path.join(d, name)), df, name
             )
             for df, name in writes
         ]
@@ -525,8 +717,8 @@ def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
 
     _t = _trace("snapshot-writes", _t)
     fingerprints = {
-        str(r.host_bucket): hashlib.md5(bytes(r.blob)).hexdigest()
-        for r in spark.read.parquet(os.path.join(d, "filters")).collect()
+        str(r.host_bucket): r.fingerprint
+        for r in filters_new.select("host_bucket", "fingerprint").collect()
     }
     with open(_manifest_path(root, epoch), "w") as f:
         json.dump(
@@ -534,6 +726,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
                 "epoch": epoch,
                 "n_fetched": n_selected,
                 "filter_fingerprints": fingerprints,
+                "frontier_refs": {str(b): e for b, e in sorted(new_refs.items())},
             },
             f,
         )
@@ -541,21 +734,27 @@ def _run_epoch_body(spark, root, epoch, web, cfg, frontier, robots, filters,
     return n_selected
 
 
-def _write_empty_epoch(spark, root, epoch, frontier, robots, filters):
+def _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt):
+    """Nothing selected: carry every frontier bucket forward by reference
+    (zero frontier I/O) and write empty deltas so readers of this epoch
+    see complete tables."""
     d = _snap_dir(root, epoch)
-    frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-    spark.createDataFrame([], SEEN_SCHEMA).write.mode("overwrite").parquet(
-        os.path.join(d, "url_seen_delta")
-    )
-    spark.createDataFrame([], FETCHLOG_SCHEMA).write.mode("overwrite").parquet(
-        os.path.join(d, "fetch_log")
-    )
-    spark.createDataFrame([], ROBOTS_SCHEMA).write.mode("overwrite").parquet(
-        os.path.join(d, "robots_delta")
-    )
-    filters.write.mode("overwrite").parquet(os.path.join(d, "filters"))
+    fmt.write(spark.createDataFrame([], SEEN_SCHEMA),
+              os.path.join(d, "url_seen_delta"))
+    fmt.write(spark.createDataFrame([], FETCHLOG_SCHEMA),
+              os.path.join(d, "fetch_log"))
+    fmt.write(spark.createDataFrame([], ROBOTS_SCHEMA),
+              os.path.join(d, "robots_delta"))
+    fmt.write(filters, os.path.join(d, "filters"))
     with open(_manifest_path(root, epoch), "w") as f:
-        json.dump({"epoch": epoch, "n_fetched": 0}, f)
+        json.dump(
+            {
+                "epoch": epoch,
+                "n_fetched": 0,
+                "frontier_refs": {str(b): e for b, e in sorted(refs.items())},
+            },
+            f,
+        )
 
 
 def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
@@ -608,22 +807,20 @@ def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
 def _run_payload_stages(spark: SparkSession, root: str, epoch: int,
                         web: WebConfig, scraper_plan: dict | None,
                         emit_images: bool) -> None:
+    fmt = get_table_format(spark)
     d = _snap_dir(root, epoch)
-    urls = spark.read.parquet(os.path.join(d, "fetch_log")).filter(
+    urls = fmt.read(spark, [os.path.join(d, "fetch_log")], FETCHLOG_SCHEMA).filter(
         F.col("status") == 200
     ).select("url_canon")
     if scraper_plan:
         from mlscraper_spark.operators.extract import extract_from_urls
 
-        extract_from_urls(urls, scraper_plan, web).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(d, "extractions"))
+        fmt.write(extract_from_urls(urls, scraper_plan, web),
+                  os.path.join(d, "extractions"))
     if emit_images:
         from mlscraper_spark.images.ops import fetch_and_extract_images
 
-        fetch_and_extract_images(urls, web).write.mode("overwrite").parquet(
-            os.path.join(d, "images")
-        )
+        fmt.write(fetch_and_extract_images(urls, web), os.path.join(d, "images"))
 
 
 EXTRACTIONS_SCHEMA = "url_canon string, value_json string"
@@ -631,6 +828,7 @@ EXTRACTIONS_SCHEMA = "url_canon string, value_json string"
 
 def _read_epoch_tables(spark: SparkSession, root: str, name: str,
                        schema: object) -> DataFrame:
+    fmt = get_table_format(spark)
     last = last_complete_epoch(root)
     paths = [
         p
@@ -639,7 +837,7 @@ def _read_epoch_tables(spark: SparkSession, root: str, name: str,
     ]
     if not paths:  # nothing written yet → empty frame, not AnalysisException
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    return fmt.read(spark, paths, schema)
 
 
 def read_images(spark: SparkSession, root: str) -> DataFrame:

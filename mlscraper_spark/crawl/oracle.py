@@ -26,7 +26,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from mlscraper_spark.crawl.synthweb import WebConfig, extract_images, extract_links, fetch
-from mlscraper_spark.crawl.urlnorm import canonicalize, host_of, url_hash
+from mlscraper_spark.crawl.urlnorm import (
+    canonicalize,
+    host_of,
+    try_canonicalize,
+    url_hash,
+)
 
 
 def priority_of(depth: int) -> float:
@@ -105,5 +110,7 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
             state.url_seen.add(url)
             del state.frontier[url]
             for raw in links:
-                _insert(state, canonicalize(raw), depth + 1, epoch + 1, cfg)
+                cu = try_canonicalize(raw)
+                if cu is not None:  # unparseable hrefs are not links
+                    _insert(state, cu, depth + 1, epoch + 1, cfg)
     return state

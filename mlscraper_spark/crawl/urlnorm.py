@@ -9,6 +9,7 @@ implementation only in the oracle and in tests.
 """
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, urlencode, urlsplit
 
 _MASK = (1 << 64) - 1
@@ -99,7 +100,63 @@ def canonicalize(url: str) -> str:
         host = f"{host}:{port}"
     path = parts.path or "/"
     query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
-    return f"{scheme}://{host}{path}" + (f"?{query}" if query else "")
+    out = f"{scheme}://{host}{path}" + (f"?{query}" if query else "")
+    # the canonical form must itself re-parse (identity columns are split
+    # again downstream): hostless junk like '[' would otherwise yield
+    # 'http://[' — an invalid IPv6 literal to every parser.  Raises
+    # ValueError; try_canonicalize turns that into a dropped link.
+    urlsplit(out)
+    return out
+
+
+# URLs of the dominant shape scheme://host/path — no port, userinfo,
+# query, fragment, or non-ASCII host — canonicalize to
+# scheme.lower()://host.lower() + (path or '/'), which pandas C-regex ops
+# compute without per-row Python.  Everything else falls back to
+# ``canonicalize``.  Equality of the two paths is property-tested
+# (tests/test_urlnorm.py).
+_FAST_URL_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([A-Za-z0-9.\-]+)(/[^?#]*)?$"
+)
+
+
+def canonicalize_series(raw):
+    """Vectorized F11 over a pandas Series → DataFrame(url_canon, host,
+    path).  Fast path for the common URL shape; per-row ``canonicalize``
+    only for the residue (ports, queries, fragments, userinfo, IDN)."""
+    import pandas as pd
+
+    s = raw.astype(str).str.strip()
+    ext = s.str.extract(_FAST_URL_RE)
+    fast = ext[0].notna()
+    out_canon = pd.Series(index=s.index, dtype=object)
+    out_host = pd.Series(index=s.index, dtype=object)
+    out_path = pd.Series(index=s.index, dtype=object)
+    if fast.any():
+        host = ext.loc[fast, 1].str.lower()
+        path = ext.loc[fast, 2].fillna("/")
+        out_canon[fast] = ext.loc[fast, 0].str.lower() + "://" + host + path
+        out_host[fast] = host
+        out_path[fast] = path
+    slow = ~fast
+    if slow.any():
+        canons = s[slow].map(try_canonicalize)
+        out_canon[slow] = canons
+        out_host[slow] = canons.map(lambda c: urlsplit(c).netloc if c else None)
+        out_path[slow] = canons.map(lambda c: urlsplit(c).path if c else None)
+    return pd.DataFrame(
+        {"url_canon": out_canon, "host": out_host, "path": out_path}
+    )
+
+
+def try_canonicalize(url: str) -> str | None:
+    """None for hrefs urlsplit rejects (bad IPv6 brackets, junk ports) —
+    not crawlable links; oracle and engine drop them identically so one
+    hostile page never fails a Spark task nor diverges the crawl."""
+    try:
+        return canonicalize(url)
+    except ValueError:
+        return None
 
 
 def url_hash(url_canon: str) -> int:

@@ -9,8 +9,11 @@ import pytest
 from mlscraper_spark.crawl.cuckoo import CuckooFilter
 from mlscraper_spark.crawl.engine import (
     CrawlConfig,
+    _frontier_refs,
+    _politeness_select,
     last_complete_epoch,
     read_fetch_log,
+    read_frontier,
     read_url_seen,
     run_crawl,
 )
@@ -102,6 +105,102 @@ def test_partial_snapshot_is_ignored(tmp_path):
     root = tmp_path / "partial"
     (root / "snap_00003").mkdir(parents=True)  # no manifest → incomplete
     assert last_complete_epoch(str(root)) is None
+
+
+def _fetch_log_tuples(spark, root):
+    return [
+        (r.epoch, r.seq, r.url_canon)
+        for r in read_fetch_log(spark, root).sort("epoch", "seq").collect()
+    ]
+
+
+def test_clean_buckets_carry_forward(spark, tmp_path):
+    """Delta merge: a bucket whose hosts are exhausted must be carried
+    forward by manifest reference (ref stays at an older snapshot, zero
+    I/O), while active buckets keep advancing — and the crawl still
+    matches the oracle bit-for-bit in this exhaustion-heavy scenario.
+
+    Topology: hosts 0/1 share host_bucket 7 and stay active for many
+    epochs; host2 (bucket 3) has only 2 crawlable pages (its /private/
+    pages are robots-blocked), so bucket 3 goes quiet early."""
+    web = WebConfig(n_hosts=4, max_pages_per_host=6)
+    seeds = web.seeds(4)
+    cfg = CrawlConfig(budget_per_host=2, n_buckets=8, max_ref_span=50)
+    root = str(tmp_path / "cf")
+    run_crawl(spark, root, seeds, web, cfg, max_epochs=10)
+    last = last_complete_epoch(root)
+    diverged = any(
+        len(set(_frontier_refs(root, e).values())) >= 2
+        for e in range(0, last + 1)
+    )
+    assert diverged, "no epoch carried a clean bucket forward by reference"
+    want = crawl_oracle(seeds, web, budget_per_host=2, max_epochs=10)
+    assert _fetch_log_tuples(spark, root) == [
+        (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
+    ]
+    seen = {r.url_canon for r in read_url_seen(spark, root, last).collect()}
+    assert seen == want.url_seen
+
+
+def test_compaction_rewrites_and_stays_exact(spark, tmp_path):
+    """max_ref_span=1 forces a full compaction rewrite every epoch; the
+    crawl must still match the oracle and the final manifest must
+    reference a single snapshot for every bucket."""
+    web = WebConfig(n_hosts=2, max_pages_per_host=6)
+    seeds = web.seeds(2)
+    cfg = CrawlConfig(budget_per_host=2, n_buckets=8, max_ref_span=1)
+    root = str(tmp_path / "compact")
+    run_crawl(spark, root, seeds, web, cfg, max_epochs=4)
+    last = last_complete_epoch(root)
+    refs = _frontier_refs(root, last)
+    assert len(set(refs.values())) == 1
+    want = crawl_oracle(seeds, web, budget_per_host=2, max_epochs=4)
+    assert _fetch_log_tuples(spark, root) == [
+        (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
+    ]
+
+
+def test_politeness_two_phase_no_frontier_exchange(spark, tmp_path):
+    """The politeness top-k must not Exchange the frontier: the only
+    shuffle sits ABOVE the Arrow phase-1 reduction (window over the small
+    per-partition winners), never between the parquet scan and
+    MapInPandas."""
+    from mlscraper_spark.crawl.engine import FRONTIER_SCHEMA
+
+    rows = [
+        (f"http://h{i % 7}.test/p/{i}", i * 37 - 500, f"h{i % 7}.test",
+         i % 4, 1.0 / (1 + i % 3), i % 3, 0)
+        for i in range(300)
+    ]
+    path = str(tmp_path / "frontier_plan")
+    spark.createDataFrame(rows, FRONTIER_SCHEMA).repartition(6).write.parquet(path)
+    frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+    cfg = CrawlConfig(budget_per_host=3)
+    sel = _politeness_select(frontier, cfg)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    map_idx = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    exch_idx = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    assert map_idx, plan
+    assert all(e < map_idx[0] for e in exch_idx), (
+        "Exchange below the phase-1 Arrow reduction — frontier is being "
+        "shuffled whole:\n" + plan
+    )
+
+    # and it must agree exactly with the single-window reference form
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("url_hash"), F.asc("url_canon")
+    )
+    want = (
+        frontier.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cfg.budget_per_host)
+        .drop("rn")
+    )
+    got = sorted(map(tuple, sel.collect()))
+    assert got == sorted(map(tuple, want.collect()))
 
 
 def test_cuckoo_no_false_negatives():

@@ -1,9 +1,17 @@
 """URL identity: canonicalization semantics + bit-equality of the pure
 Python XXH64 (oracle side) with Spark's xxhash64 (engine side) — the
 invariant the whole crawl-order equivalence rests on."""
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from mlscraper_spark.crawl.urlnorm import canonicalize, host_bucket, url_hash, xxhash64
+from mlscraper_spark.crawl.urlnorm import (
+    canonicalize,
+    canonicalize_series,
+    host_bucket,
+    url_hash,
+    xxhash64,
+)
 
 
 def test_canonicalize():
@@ -36,3 +44,48 @@ def test_xxhash64_matches_spark(spark):
 def test_url_hash_is_signed_long():
     h = url_hash("http://host0.test/page/0")
     assert -(1 << 63) <= h < (1 << 63)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            # well-formed-ish URLs assembled from adversarial parts
+            st.builds(
+                lambda sch, host, port, path, q, frag: (
+                    f"{sch}://{host}{port}{path}{q}{frag}"
+                ),
+                st.sampled_from(["http", "HTTP", "https", "ftp", "a+b-c.d"]),
+                st.sampled_from(
+                    ["h.test", "HOST7.TEST", "h-x.y.z", "h.test.", "xn--bcher-kva.example"]
+                ),
+                st.sampled_from(["", ":80", ":443", ":8080"]),
+                st.sampled_from(["", "/", "/p/1", "/A b/C", "/a:b;c", "/%20x"]),
+                st.sampled_from(["", "?b=2&a=1", "?z=", "?a=1&a=0"]),
+                st.sampled_from(["", "#f", "#"]),
+            ),
+            # raw junk
+            st.text(max_size=30),
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_series_equals_rowwise(urls):
+    """The pandas fast path must agree with per-row canonicalize exactly —
+    the vectorized form is the engine's hot path, the scalar form the
+    oracle's."""
+    import pandas as pd
+    from urllib.parse import urlsplit
+
+    out = canonicalize_series(pd.Series(urls, dtype=object))
+    for u, canon, host, path in zip(
+        urls, out["url_canon"], out["host"], out["path"]
+    ):
+        try:
+            want = canonicalize(u)
+        except ValueError:
+            continue  # scalar canonicalizer rejects (e.g. bad port) — the
+            # engine only feeds hrefs that synthweb/fetch produced
+        assert canon == want, u
+        assert host == urlsplit(want).netloc, u
+        assert path == urlsplit(want).path, u
