@@ -70,6 +70,13 @@ class CuckooFilter:
         h = np.asarray(hashes, dtype=np.int64).view(np.uint64).astype(np.int64)
         if h.size == 0:
             return 0
+        if self.saturated:
+            # a saturated filter answers "maybe seen" for everything, so
+            # further inserts cannot change any answer — skip them instead
+            # of walking doomed kick chains (a saturated bucket otherwise
+            # costs MAX_KICKS Python steps per failing hash: a measured
+            # 88s/epoch kick storm at 1M-URL widths)
+            return int(h.size)
         fps = self._fingerprint(h)
         i1s = self._index1(h)
         i2s = self._index2(i1s, fps)
@@ -118,7 +125,9 @@ class CuckooFilter:
                 for bkt, s, old in reversed(trail):
                     t[bkt][s] = old
                 self.saturated = True
-                failed += 1
+                # all remaining inserts are pointless now (see early exit)
+                failed += 1 + int((rem > item).sum())
+                break
         return failed
 
     def contains_many(self, hashes) -> np.ndarray:

@@ -76,7 +76,13 @@ ROBOTS_SCHEMA = "host string, rules_json string, fetched_epoch int"
 class CrawlConfig:
     budget_per_host: int = 2
     n_buckets: int = 8
-    filter_buckets: int = 1 << 12  # cuckoo table size per host_bucket
+    filter_buckets: int = 1 << 16  # cuckoo table size per host_bucket:
+    # capacity ≈ filter_buckets × 4 slots (≈ 262k URLs/bucket, 512 KiB
+    # blob).  Size it to the expected per-bucket URL count — a saturated
+    # filter stays CORRECT (degrades to exact anti-joins for everything)
+    # but loses the fast path, so at 10^10 URLs / 4096 buckets you'd run
+    # 1 << 20 (8 MiB/bucket).  Changing this across a resume is rejected
+    # (the blob header carries its geometry).
     fetch_partitions: int = 128  # fetch-stage parallelism (independent of
     # n_buckets: politeness is enforced before the fetch, so any even
     # partitioning is sound; url_hash keying spreads heavy hosts)
@@ -595,7 +601,9 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         (F.col("depth") + 1).alias("depth"), _canonicalize_udf("raw").alias("c")
     ).select("depth", "c.url_canon", "c.host").filter(
         F.col("url_canon").isNotNull()  # unparseable hrefs are not links
-    )
+    ).cache()  # consumed by robots_new (host anti-join) AND the main delta
+    # pipeline — without the cache the canonicalize UDF runs twice
+    _caches.append(disc)
     robots_new = _robots_rules_df(
         spark,
         disc.select("host").join(robots.select("host"), "host", "left_anti"),
@@ -628,7 +636,10 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     _caches.append(filters_new)
 
     # ---- seen-check the DELTA only (P10): cuckoo split + exact backstop -
-    flagged = _split_by_filter(adds, filters_new, cfg)
+    # cache: both branches below consume the same cuckoo-cogroup output —
+    # without it the whole discovery pipeline runs twice per epoch
+    flagged = _split_by_filter(adds, filters_new, cfg).cache()
+    _caches.append(flagged)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     survived = maybe.join(
