@@ -128,9 +128,20 @@ def _read_manifest(root: str, epoch: int) -> dict:
 
 
 def _frontier_refs(root: str, epoch: int) -> dict[int, int]:
-    """bucket → epoch whose snapshot's frontier table holds its rows."""
+    """bucket → epoch whose snapshot's frontier table holds its rows.
+
+    A manifest WITHOUT the key predates the bucket-manifest format; fail
+    loudly rather than read an empty frontier and silently report the
+    crawl finished (an empty dict, by contrast, is a legitimately empty
+    frontier)."""
     m = _read_manifest(root, epoch)
-    return {int(k): int(v) for k, v in m.get("frontier_refs", {}).items()}
+    if "frontier_refs" not in m:
+        raise RuntimeError(
+            f"snapshot {_snap_dir(root, epoch)} predates the bucket-manifest "
+            "frontier format (no 'frontier_refs' in manifest); this crawl "
+            "root cannot be resumed by this engine version — restart it"
+        )
+    return {int(k): int(v) for k, v in m["frontier_refs"].items()}
 
 
 def read_frontier(spark: SparkSession, root: str, epoch: int,
@@ -206,7 +217,11 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     """Write the epoch=-1 snapshot: seeded frontier, empty everything else."""
     fmt = get_table_format(spark)
     raw = spark.createDataFrame([(s,) for s in seeds], "raw string")
-    c = raw.select(_canonicalize_udf("raw").alias("c")).select("c.*")
+    c = raw.select(_canonicalize_udf("raw").alias("c")).select("c.*").filter(
+        F.col("url_canon").isNotNull()  # same policy as discoveries: an
+        # unparseable seed is dropped (oracle does the same), never a
+        # phantom null-host frontier row
+    )
     frontier = (
         _with_host_bucket(c, cfg)
         .withColumn("url_hash", F.xxhash64("url_canon"))
@@ -514,7 +529,7 @@ def read_robots(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
     paths = [
         p
         for e in range(-1, upto_epoch + 1)
-        if os.path.isdir(p := os.path.join(_snap_dir(root, e), "robots_delta"))
+        if fmt.exists(spark, p := os.path.join(_snap_dir(root, e), "robots_delta"))
     ]
     return fmt.read(spark, paths, ROBOTS_SCHEMA)
 
@@ -549,19 +564,22 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     url_seen = read_url_seen(spark, root, epoch - 1)
 
     # ---- politeness top-k (T6) + global fetch order --------------------
-    selected = _assign_global_seq(
-        spark, _politeness_select(frontier, cfg)
-    ).cache()
+    # the politeness output is cached BEFORE seq assignment: the seq
+    # offsets collect inside _assign_global_seq materializes this cache,
+    # so the frontier scan + two-phase top-k run exactly once per epoch
+    pol = _politeness_select(frontier, cfg).cache()
+    selected = _assign_global_seq(spark, pol).cache()
     n_selected = selected.count()
     _t = _trace("select", _t)
     if n_selected == 0:
         selected.unpersist()
+        pol.unpersist()
         _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt)
         return 0
 
     # caches created below are released in the finally block even when a
     # stage throws (long sessions run many crawls)
-    _caches = [selected]
+    _caches = [selected, pol]
     try:
         return _run_epoch_body(
             spark, root, epoch, web, cfg, refs, robots, filters,
@@ -748,7 +766,9 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
 def _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt):
     """Nothing selected: carry every frontier bucket forward by reference
     (zero frontier I/O) and write empty deltas so readers of this epoch
-    see complete tables."""
+    see complete tables.  The blob-lineage contract holds here too: this
+    is the FINAL snapshot of every completed crawl, so its manifest must
+    carry the same filter_fingerprints keys as every other epoch."""
     d = _snap_dir(root, epoch)
     fmt.write(spark.createDataFrame([], SEEN_SCHEMA),
               os.path.join(d, "url_seen_delta"))
@@ -757,11 +777,16 @@ def _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt):
     fmt.write(spark.createDataFrame([], ROBOTS_SCHEMA),
               os.path.join(d, "robots_delta"))
     fmt.write(filters, os.path.join(d, "filters"))
+    fingerprints = {
+        str(r.host_bucket): r.fingerprint
+        for r in filters.select("host_bucket", "fingerprint").collect()
+    }
     with open(_manifest_path(root, epoch), "w") as f:
         json.dump(
             {
                 "epoch": epoch,
                 "n_fetched": 0,
+                "filter_fingerprints": fingerprints,
                 "frontier_refs": {str(b): e for b, e in sorted(refs.items())},
             },
             f,
@@ -792,18 +817,20 @@ def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     if scraper_plan or emit_images:
         # backfill payload tables for already-complete epochs (a kill can
         # land between the epoch manifest and its payload stages; fetch is
-        # a pure function, so re-deriving the payload is exact)
+        # a pure function, so re-deriving the payload is exact).  Commit
+        # detection goes through the TableFormat seam — an uncommitted
+        # (mid-kill) table must be redone whatever the storage format.
+        fmt = get_table_format(spark)
         for e in range(0, last + 1):
             d = _snap_dir(root, e)
-            # _SUCCESS is Spark's commit marker: a dir without it is a
-            # partial write from a mid-payload kill and must be redone
+
             def _complete(name):
-                return os.path.exists(os.path.join(d, name, "_SUCCESS"))
+                return fmt.is_complete(spark, os.path.join(d, name))
 
             missing = (scraper_plan and not _complete("extractions")) or (
                 emit_images and not _complete("images")
             )
-            if missing and os.path.isdir(os.path.join(d, "fetch_log")):
+            if missing and fmt.exists(spark, os.path.join(d, "fetch_log")):
                 _run_payload_stages(spark, root, e, web, scraper_plan,
                                     emit_images)
     for epoch in range(last + 1, max_epochs):
@@ -844,7 +871,7 @@ def _read_epoch_tables(spark: SparkSession, root: str, name: str,
     paths = [
         p
         for e in range(0, (last if last is not None else -1) + 1)
-        if os.path.isdir(p := os.path.join(_snap_dir(root, e), name))
+        if fmt.exists(spark, p := os.path.join(_snap_dir(root, e), name))
     ]
     if not paths:  # nothing written yet → empty frame, not AnalysisException
         return spark.createDataFrame([], schema)

@@ -26,12 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from mlscraper_spark.crawl.synthweb import WebConfig, extract_images, extract_links, fetch
-from mlscraper_spark.crawl.urlnorm import (
-    canonicalize,
-    host_of,
-    try_canonicalize,
-    url_hash,
-)
+from mlscraper_spark.crawl.urlnorm import host_of, try_canonicalize, url_hash
 
 
 def priority_of(depth: int) -> float:
@@ -75,7 +70,9 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
                  max_epochs: int) -> OracleState:
     state = OracleState()
     for s in seeds:
-        _insert(state, canonicalize(s), 0, 0, cfg)
+        cs = try_canonicalize(s)
+        if cs is not None:  # unparseable seeds are dropped, like links
+            _insert(state, cs, 0, 0, cfg)
 
     for epoch in range(max_epochs):
         if not state.frontier:

@@ -113,10 +113,13 @@ def canonicalize(url: str) -> str:
 # query, fragment, or non-ASCII host — canonicalize to
 # scheme.lower()://host.lower() + (path or '/'), which pandas C-regex ops
 # compute without per-row Python.  Everything else falls back to
-# ``canonicalize``.  Equality of the two paths is property-tested
-# (tests/test_urlnorm.py).
+# ``canonicalize``.  The path group excludes tab/CR/LF: urlsplit strips
+# those WHATWG-unsafe bytes ANYWHERE in the URL, so a fast path that kept
+# them would diverge from the scalar canonicalizer (engine vs oracle
+# bit-parity).  Equality of the two paths is property-tested
+# (tests/test_urlnorm.py, including embedded \t/\r/\n).
 _FAST_URL_RE = re.compile(
-    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([A-Za-z0-9.\-]+)(/[^?#]*)?$"
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([A-Za-z0-9.\-]+)(/[^?#\t\r\n]*)?$"
 )
 
 

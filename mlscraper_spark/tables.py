@@ -20,12 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 class TableFormat:
     """Write/read one logical table at a path (or several paths — the
-    append-only tables are unions of per-epoch deltas)."""
+    append-only tables are unions of per-epoch deltas), plus the two
+    probes the epoch loop needs: ``exists`` (was this table ever
+    written?) and ``is_complete`` (did its write COMMIT?).  Keeping the
+    probes behind the seam is what lets the Iceberg variant drop in
+    without touching the loop — parquet's ``_SUCCESS`` marker is a
+    parquet detail, not an engine concept."""
 
     def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
         raise NotImplementedError
 
     def read(self, spark: SparkSession, paths: list[str], schema=None) -> DataFrame:
+        raise NotImplementedError
+
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        raise NotImplementedError
+
+    def is_complete(self, spark: SparkSession, path: str) -> bool:
         raise NotImplementedError
 
 
@@ -39,13 +50,26 @@ class ParquetSnapshotFormat(TableFormat):
             reader = reader.schema(schema)
         return reader.parquet(*paths)
 
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        import os
+
+        return os.path.isdir(path)
+
+    def is_complete(self, spark: SparkSession, path: str) -> bool:
+        # _SUCCESS is the Hadoop committer's atomic marker: present iff
+        # every task of the write committed
+        import os
+
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
 
 class IcebergSnapshotFormat(TableFormat):
     """Iceberg-backed variant (requires iceberg-spark-runtime on the
     classpath and a configured catalog).  Snapshot dirs become Iceberg
     table partitions; the epoch manifest maps onto Iceberg snapshot ids.
     Not exercisable in this sandbox — constructed only when the probe
-    below finds the runtime."""
+    below finds the runtime.  ``read`` ignores the schema argument by
+    design: an Iceberg table carries its own (evolvable) schema."""
 
     def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
         df.write.format("iceberg").mode(mode).save(path)
@@ -56,6 +80,18 @@ class IcebergSnapshotFormat(TableFormat):
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        try:
+            spark.read.format("iceberg").load(path).schema
+            return True
+        except Exception:
+            return False
+
+    def is_complete(self, spark: SparkSession, path: str) -> bool:
+        # Iceberg writes are atomic at the snapshot level: a loadable
+        # table IS a committed table
+        return self.exists(spark, path)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -68,14 +104,10 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-_CACHED: dict[int, TableFormat] = {}
-
-
 def get_table_format(spark: SparkSession) -> TableFormat:
-    key = id(spark)
-    if key not in _CACHED:
-        _CACHED[key] = (
-            IcebergSnapshotFormat() if iceberg_available(spark)
-            else ParquetSnapshotFormat()
-        )
-    return _CACHED[key]
+    # probed per call: the Class.forName round-trip costs ~1 ms and a
+    # cache keyed by session identity can go stale (id() reuse after GC)
+    return (
+        IcebergSnapshotFormat() if iceberg_available(spark)
+        else ParquetSnapshotFormat()
+    )

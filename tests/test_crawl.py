@@ -134,6 +134,15 @@ def test_clean_buckets_carry_forward(spark, tmp_path):
         for e in range(0, last + 1)
     )
     assert diverged, "no epoch carried a clean bucket forward by reference"
+    # lineage contract: EVERY epoch's manifest carries filter_fingerprints,
+    # including the final (empty, crawl-exhausted) one
+    import json as _json
+
+    from mlscraper_spark.crawl.engine import _manifest_path
+
+    for e in range(0, last + 1):
+        with open(_manifest_path(root, e)) as f:
+            assert "filter_fingerprints" in _json.load(f), f"epoch {e}"
     want = crawl_oracle(seeds, web, budget_per_host=2, max_epochs=10)
     assert _fetch_log_tuples(spark, root) == [
         (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
@@ -158,6 +167,34 @@ def test_compaction_rewrites_and_stays_exact(spark, tmp_path):
     assert _fetch_log_tuples(spark, root) == [
         (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
     ]
+
+
+def test_junk_seed_dropped_identically(spark, tmp_path, oracle_state):
+    """An unparseable seed ('[') is dropped by BOTH engine and oracle —
+    the crawl over the remaining seeds stays bit-for-bit identical."""
+    seeds = SEEDS + ["["]
+    want = crawl_oracle(seeds, WEB, budget_per_host=BUDGET, max_epochs=2)
+    base = crawl_oracle(SEEDS, WEB, budget_per_host=BUDGET, max_epochs=2)
+    assert want.fetch_log == base.fetch_log  # oracle drops it
+    root = str(tmp_path / "junkseed")
+    run_crawl(spark, root, seeds, WEB, CrawlConfig(budget_per_host=BUDGET),
+              max_epochs=2)
+    assert _fetch_log_tuples(spark, root) == [
+        (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
+    ]
+
+
+def test_pre_refactor_manifest_fails_loudly(tmp_path):
+    """A manifest without frontier_refs (pre-bucket-manifest format) must
+    raise, never read an empty frontier and report the crawl 'done'."""
+    import json
+
+    root = tmp_path / "old"
+    snap = root / "snap_00000"
+    snap.mkdir(parents=True)
+    (snap / "_manifest.json").write_text(json.dumps({"epoch": -1, "seeds": 4}))
+    with pytest.raises(RuntimeError, match="predates"):
+        _frontier_refs(str(root), -1)
 
 
 def test_politeness_two_phase_no_frontier_exchange(spark, tmp_path):

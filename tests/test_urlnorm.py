@@ -59,7 +59,10 @@ def test_url_hash_is_signed_long():
                     ["h.test", "HOST7.TEST", "h-x.y.z", "h.test.", "xn--bcher-kva.example"]
                 ),
                 st.sampled_from(["", ":80", ":443", ":8080"]),
-                st.sampled_from(["", "/", "/p/1", "/A b/C", "/a:b;c", "/%20x"]),
+                st.sampled_from(
+                    ["", "/", "/p/1", "/A b/C", "/a:b;c", "/%20x",
+                     "/a\tb", "/a\nb", "/a\rb/c"]
+                ),
                 st.sampled_from(["", "?b=2&a=1", "?z=", "?a=1&a=0"]),
                 st.sampled_from(["", "#f", "#"]),
             ),
