@@ -102,10 +102,17 @@ def run_at(master: str, tag: str) -> dict:
 
 
 def main():
+    # the sandbox host occasionally carries external load; a local[16]
+    # leg degrades ~1.4x under it while local[4] barely moves, which
+    # corrupts the efficiency ratio — record the starting load so a run
+    # taken on a busy host is identifiable (and re-run it when idle)
+    with open("/proc/loadavg") as f:
+        loadavg_start = f.read().split()[:3]
     small = run_at("local[4]", "n4")
     big = run_at("local[16]", "n16")
     ratio = 16 / 4
     out = {
+        "loadavg_start": loadavg_start,
         "m_urls": M_URLS,
         "crawl_hosts": CRAWL_HOSTS,
         "small": small,

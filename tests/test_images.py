@@ -103,3 +103,21 @@ def test_images_table_from_crawled_pages(spark):
     assert all(f.decode_ok for f in feats.values())
     for iid, r in rows.items():
         assert feats[iid].phash_check == r.phash
+
+
+def test_malformed_dimension_attrs_do_not_fail_extraction():
+    """Real-web width/height attrs carry '100%', '', 'auto' — one
+    malformed page must yield w/h=0, never a ValueError inside the Arrow
+    UDF (ADVICE round 1)."""
+    from mlscraper_spark.crawl.synthweb import extract_images
+
+    html = (
+        b'<html><body>'
+        b'<img src="a.png" alt="pct" width="100%" height="">'
+        b'<img src="b.png" alt="auto" width="auto">'
+        b'<img src="c.png" alt="ok" width="32" height="16">'
+        b"</body></html>"
+    )
+    rows = extract_images(html)
+    assert [(r["w"], r["h"]) for r in rows] == [(0, 0), (0, 0), (32, 16)]
+    assert [r["caption"] for r in rows] == ["pct", "auto", "ok"]
