@@ -169,6 +169,27 @@ def test_compaction_rewrites_and_stays_exact(spark, tmp_path):
     ]
 
 
+def test_resume_across_ref_chain_and_compaction(spark, tmp_path):
+    """Kill-and-resume while frontier refs span several snapshots AND a
+    compaction (max_ref_span=2) fires mid-crawl: the resumed run must
+    still equal the oracle bit-for-bit (refs are rebuilt purely from the
+    manifest chain)."""
+    web = WebConfig(n_hosts=4, max_pages_per_host=6)
+    seeds = web.seeds(4)
+    cfg = CrawlConfig(budget_per_host=2, n_buckets=8, max_ref_span=2)
+    root = str(tmp_path / "resume_refs")
+    run_crawl(spark, root, seeds, web, cfg, max_epochs=3)  # "kill" at 3
+    assert last_complete_epoch(root) == 2
+    run_crawl(spark, root, seeds, web, cfg, max_epochs=9)  # resume
+    want = crawl_oracle(seeds, web, budget_per_host=2, max_epochs=9)
+    assert _fetch_log_tuples(spark, root) == [
+        (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
+    ]
+    last = last_complete_epoch(root)
+    seen = {r.url_canon for r in read_url_seen(spark, root, last).collect()}
+    assert seen == want.url_seen
+
+
 def test_junk_seed_dropped_identically(spark, tmp_path, oracle_state):
     """An unparseable seed ('[') is dropped by BOTH engine and oracle —
     the crawl over the remaining seeds stays bit-for-bit identical."""
