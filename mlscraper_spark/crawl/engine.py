@@ -90,6 +90,11 @@ class CrawlConfig:
     # snapshots before a full compaction rewrite (bounds manifest-chain
     # length and lets old snapshots expire — Iceberg snapshot-expiry
     # analog)
+    seen_compact_every: int = 16  # every K epochs the url_seen deltas are
+    # compacted into a full url_seen_base table in that snapshot, so the
+    # per-epoch read unions ≤ K deltas + 1 base instead of the crawl's
+    # whole history (10^4-epoch crawls would otherwise pay a
+    # linearly-growing listing + tiny-file scan every epoch)
 
 
 def _snap_dir(root: str, epoch: int) -> str:
@@ -513,12 +518,25 @@ def _update_filters(filters: DataFrame, new_hashes: DataFrame,
     ).applyInPandas(_upd, FILTERS_SCHEMA)
 
 
+def _seen_base_epoch(root: str, epoch: int) -> int | None:
+    """Epoch whose snapshot holds a compacted full url_seen_base, or None."""
+    return _read_manifest(root, epoch).get("seen_base_epoch")
+
+
 def read_url_seen(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
-    """Union of the append-only url_seen deltas (Iceberg-snapshot shape)."""
+    """url_seen as of a snapshot: the latest compacted base (if any) plus
+    the append-only deltas after it (Iceberg snapshot shape — the
+    periodic compaction bounds the union width at seen_compact_every)."""
     fmt = get_table_format(spark)
-    paths = [
+    base = _seen_base_epoch(root, upto_epoch) if upto_epoch >= -1 else None
+    paths = []
+    start = -1
+    if base is not None:
+        paths.append(os.path.join(_snap_dir(root, base), "url_seen_base"))
+        start = base + 1
+    paths += [
         os.path.join(_snap_dir(root, e), "url_seen_delta")
-        for e in range(-1, upto_epoch + 1)
+        for e in range(start, upto_epoch + 1)
     ]
     return fmt.read(spark, paths, SEEN_SCHEMA)
 
@@ -730,6 +748,12 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         (filters_new, "filters"),
         (metrics, "metrics"),
     ]
+    # periodic url_seen compaction: fold base + all deltas (incl. this
+    # epoch's) into a fresh base so reads stay O(seen_compact_every) wide
+    compact_seen = (epoch + 1) % cfg.seen_compact_every == 0
+    if compact_seen:
+        writes.append((url_seen_all, "url_seen_base"))
+    seen_base = epoch if compact_seen else _seen_base_epoch(root, epoch - 1)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
@@ -756,6 +780,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
                 "n_fetched": n_selected,
                 "filter_fingerprints": fingerprints,
                 "frontier_refs": {str(b): e for b, e in sorted(new_refs.items())},
+                "seen_base_epoch": seen_base,
             },
             f,
         )
@@ -788,6 +813,7 @@ def _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt):
                 "n_fetched": 0,
                 "filter_fingerprints": fingerprints,
                 "frontier_refs": {str(b): e for b, e in sorted(refs.items())},
+                "seen_base_epoch": _seen_base_epoch(root, epoch - 1),
             },
             f,
         )

@@ -170,13 +170,18 @@ def test_compaction_rewrites_and_stays_exact(spark, tmp_path):
 
 
 def test_resume_across_ref_chain_and_compaction(spark, tmp_path):
-    """Kill-and-resume while frontier refs span several snapshots AND a
-    compaction (max_ref_span=2) fires mid-crawl: the resumed run must
-    still equal the oracle bit-for-bit (refs are rebuilt purely from the
-    manifest chain)."""
+    """Kill-and-resume while frontier refs span several snapshots AND
+    both compactions fire mid-crawl (frontier rewrite at max_ref_span=2,
+    url_seen base fold every 2 epochs): the resumed run must still equal
+    the oracle bit-for-bit (all state rebuilt purely from manifests)."""
+    import os
+
+    from mlscraper_spark.crawl.engine import _seen_base_epoch, _snap_dir
+
     web = WebConfig(n_hosts=4, max_pages_per_host=6)
     seeds = web.seeds(4)
-    cfg = CrawlConfig(budget_per_host=2, n_buckets=8, max_ref_span=2)
+    cfg = CrawlConfig(budget_per_host=2, n_buckets=8, max_ref_span=2,
+                      seen_compact_every=2)
     root = str(tmp_path / "resume_refs")
     run_crawl(spark, root, seeds, web, cfg, max_epochs=3)  # "kill" at 3
     assert last_complete_epoch(root) == 2
@@ -188,6 +193,10 @@ def test_resume_across_ref_chain_and_compaction(spark, tmp_path):
     last = last_complete_epoch(root)
     seen = {r.url_canon for r in read_url_seen(spark, root, last).collect()}
     assert seen == want.url_seen
+    # the seen-compaction actually fired and the base table exists
+    base = _seen_base_epoch(root, last)
+    assert base is not None and base >= 1
+    assert os.path.isdir(os.path.join(_snap_dir(root, base), "url_seen_base"))
 
 
 def test_junk_seed_dropped_identically(spark, tmp_path, oracle_state):
