@@ -541,12 +541,25 @@ def read_url_seen(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
     return fmt.read(spark, paths, SEEN_SCHEMA)
 
 
+def _robots_base_epoch(root: str, epoch: int) -> int | None:
+    return _read_manifest(root, epoch).get("robots_base_epoch")
+
+
 def read_robots(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
-    """Union of the append-only robots deltas (one row per first-seen host)."""
+    """robots cache as of a snapshot: latest compacted base + the
+    append-only per-first-seen-host deltas after it (same base+delta
+    fold as url_seen — delta CONTENT is bounded by host count, but the
+    delta FILE count would otherwise grow with epochs)."""
     fmt = get_table_format(spark)
-    paths = [
+    base = _robots_base_epoch(root, upto_epoch)
+    start = -1
+    paths = []
+    if base is not None:
+        paths.append(os.path.join(_snap_dir(root, base), "robots_base"))
+        start = base + 1
+    paths += [
         p
-        for e in range(-1, upto_epoch + 1)
+        for e in range(start, upto_epoch + 1)
         if fmt.exists(spark, p := os.path.join(_snap_dir(root, e), "robots_delta"))
     ]
     return fmt.read(spark, paths, ROBOTS_SCHEMA)
@@ -748,12 +761,15 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         (filters_new, "filters"),
         (metrics, "metrics"),
     ]
-    # periodic url_seen compaction: fold base + all deltas (incl. this
-    # epoch's) into a fresh base so reads stay O(seen_compact_every) wide
-    compact_seen = (epoch + 1) % cfg.seen_compact_every == 0
-    if compact_seen:
+    # periodic url_seen/robots compaction: fold base + all deltas (incl.
+    # this epoch's) into a fresh base so reads stay O(seen_compact_every)
+    # wide regardless of crawl age
+    compact = (epoch + 1) % cfg.seen_compact_every == 0
+    if compact:
         writes.append((url_seen_all, "url_seen_base"))
-    seen_base = epoch if compact_seen else _seen_base_epoch(root, epoch - 1)
+        writes.append((robots_all, "robots_base"))
+    seen_base = epoch if compact else _seen_base_epoch(root, epoch - 1)
+    robots_base = epoch if compact else _robots_base_epoch(root, epoch - 1)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
@@ -781,6 +797,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
                 "filter_fingerprints": fingerprints,
                 "frontier_refs": {str(b): e for b, e in sorted(new_refs.items())},
                 "seen_base_epoch": seen_base,
+                "robots_base_epoch": robots_base,
             },
             f,
         )
@@ -814,6 +831,7 @@ def _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt):
                 "filter_fingerprints": fingerprints,
                 "frontier_refs": {str(b): e for b, e in sorted(refs.items())},
                 "seen_base_epoch": _seen_base_epoch(root, epoch - 1),
+                "robots_base_epoch": _robots_base_epoch(root, epoch - 1),
             },
             f,
         )
