@@ -185,6 +185,39 @@ def _with_host_bucket(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
 
+def _priority_col():
+    """priority = 1/(1+depth) — shared by seed, discovery and merge."""
+    return F.lit(1.0) / (1.0 + F.col("depth"))
+
+
+# the columns that identify a frontier row (everything but the derived
+# priority); url_hash/host/host_bucket are functions of url_canon, so any
+# F.first over same-url duplicates is deterministic
+_IDENTITY_COLS = (
+    "url_canon", "url_hash", "host", "host_bucket", "depth", "discovered_epoch",
+)
+
+
+def _merge_by_url(df: DataFrame) -> DataFrame:
+    """The oracle's frontier merge rule (MIN depth, MIN discovered_epoch
+    per URL) — associative and commutative, so any partitioning yields
+    the oracle's result."""
+    return df.groupBy("url_canon").agg(
+        F.first("url_hash").alias("url_hash"),
+        F.first("host").alias("host"),
+        F.first("host_bucket").alias("host_bucket"),
+        F.min("depth").alias("depth"),
+        F.min("discovered_epoch").alias("discovered_epoch"),
+    )
+
+
+def _collect_fingerprints(filters_df: DataFrame) -> dict:
+    return {
+        str(r.host_bucket): r.fingerprint
+        for r in filters_df.select("host_bucket", "fingerprint").collect()
+    }
+
+
 def _canonicalize_udf(raw_col: str):
     """Arrow-batched canonicalization (F11): raw href → (url_canon, host, path).
 
@@ -232,7 +265,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
         .withColumn("url_hash", F.xxhash64("url_canon"))
         .withColumn("depth", F.lit(0))
         .withColumn("discovered_epoch", F.lit(0))
-        .withColumn("priority", F.lit(1.0) / (1.0 + F.col("depth")))
+        .withColumn("priority", _priority_col())
     )
     robots = _robots_rules_df(spark, frontier.select("host").distinct(), 0, web)
     frontier = _filter_robots(frontier, robots).select(
@@ -518,51 +551,42 @@ def _update_filters(filters: DataFrame, new_hashes: DataFrame,
     ).applyInPandas(_upd, FILTERS_SCHEMA)
 
 
-def _seen_base_epoch(root: str, epoch: int) -> int | None:
-    """Epoch whose snapshot holds a compacted full url_seen_base, or None."""
-    return _read_manifest(root, epoch).get("seen_base_epoch")
+def _base_epoch(root: str, epoch: int, key: str) -> int | None:
+    """Epoch whose snapshot holds the named compacted base table, or None."""
+    return _read_manifest(root, epoch).get(key)
 
 
-def read_url_seen(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
-    """url_seen as of a snapshot: the latest compacted base (if any) plus
-    the append-only deltas after it (Iceberg snapshot shape — the
-    periodic compaction bounds the union width at seen_compact_every)."""
+def _read_base_plus_deltas(spark: SparkSession, root: str, upto_epoch: int,
+                           base_key: str, table: str, schema: str) -> DataFrame:
+    """An append-only table as of a snapshot: the latest compacted
+    ``{table}_base`` (if any) plus the ``{table}_delta`` dirs after it —
+    the Iceberg base+delta shape; periodic compaction bounds the union
+    width at seen_compact_every regardless of crawl age."""
     fmt = get_table_format(spark)
-    base = _seen_base_epoch(root, upto_epoch) if upto_epoch >= -1 else None
+    base = _base_epoch(root, upto_epoch, base_key)
     paths = []
     start = -1
     if base is not None:
-        paths.append(os.path.join(_snap_dir(root, base), "url_seen_base"))
-        start = base + 1
-    paths += [
-        os.path.join(_snap_dir(root, e), "url_seen_delta")
-        for e in range(start, upto_epoch + 1)
-    ]
-    return fmt.read(spark, paths, SEEN_SCHEMA)
-
-
-def _robots_base_epoch(root: str, epoch: int) -> int | None:
-    return _read_manifest(root, epoch).get("robots_base_epoch")
-
-
-def read_robots(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
-    """robots cache as of a snapshot: latest compacted base + the
-    append-only per-first-seen-host deltas after it (same base+delta
-    fold as url_seen — delta CONTENT is bounded by host count, but the
-    delta FILE count would otherwise grow with epochs)."""
-    fmt = get_table_format(spark)
-    base = _robots_base_epoch(root, upto_epoch)
-    start = -1
-    paths = []
-    if base is not None:
-        paths.append(os.path.join(_snap_dir(root, base), "robots_base"))
+        paths.append(os.path.join(_snap_dir(root, base), f"{table}_base"))
         start = base + 1
     paths += [
         p
         for e in range(start, upto_epoch + 1)
-        if fmt.exists(spark, p := os.path.join(_snap_dir(root, e), "robots_delta"))
+        if fmt.exists(spark, p := os.path.join(_snap_dir(root, e), f"{table}_delta"))
     ]
-    return fmt.read(spark, paths, ROBOTS_SCHEMA)
+    return fmt.read(spark, paths, schema)
+
+
+def read_url_seen(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
+    return _read_base_plus_deltas(
+        spark, root, upto_epoch, "seen_base_epoch", "url_seen", SEEN_SCHEMA
+    )
+
+
+def read_robots(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
+    return _read_base_plus_deltas(
+        spark, root, upto_epoch, "robots_base_epoch", "robots", ROBOTS_SCHEMA
+    )
 
 
 def _trace(label: str, t0: float) -> float:
@@ -666,13 +690,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         "url_hash", F.xxhash64("url_canon")
     ).withColumn("discovered_epoch", F.lit(epoch + 1))
     # dedup within the epoch's delta under the oracle's merge rule
-    adds = disc.groupBy("url_canon").agg(
-        F.first("url_hash").alias("url_hash"),
-        F.first("host").alias("host"),
-        F.first("host_bucket").alias("host_bucket"),
-        F.min("depth").alias("depth"),
-        F.min("discovered_epoch").alias("discovered_epoch"),
-    )
+    adds = _merge_by_url(disc)
 
     # ---- url_seen delta + cuckoo update (P10/E5) ------------------------
     seen_delta = selected.select(
@@ -698,13 +716,14 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     _caches.append(vetted)
 
     # ---- delta merge: rewrite DIRTY buckets only -------------------------
-    sel_buckets = {
-        r.host_bucket for r in selected.select("host_bucket").distinct().collect()
-    }
-    add_buckets = {
-        r.host_bucket for r in vetted.select("host_bucket").distinct().collect()
-    }
-    dirty = sorted(sel_buckets | add_buckets)
+    # one job: both inputs are cached, so this union just scans two caches
+    dirty = sorted(
+        r.host_bucket
+        for r in selected.select("host_bucket")
+        .unionByName(vetted.select("host_bucket"))
+        .distinct()
+        .collect()
+    )
     new_refs = {b: e for b, e in refs.items()}
     for b in dirty:
         new_refs[b] = epoch
@@ -720,22 +739,12 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         F.broadcast(selected.select("url_canon")), "url_canon", "left_anti"
     )
     frontier_dirty = (
-        surviving.unionByName(
-            vetted.select(
-                "url_canon", "url_hash", "host", "host_bucket", "depth",
-                "discovered_epoch",
-            ).withColumn("priority", F.lit(1.0) / (1.0 + F.col("depth")))
-            .select(*surviving.columns)
+        _merge_by_url(
+            surviving.select(*_IDENTITY_COLS).unionByName(
+                vetted.select(*_IDENTITY_COLS)
+            )
         )
-        .groupBy("url_canon")
-        .agg(
-            F.first("url_hash").alias("url_hash"),
-            F.first("host").alias("host"),
-            F.first("host_bucket").alias("host_bucket"),
-            F.min("depth").alias("depth"),
-            F.min("discovered_epoch").alias("discovered_epoch"),
-        )
-        .withColumn("priority", F.lit(1.0) / (1.0 + F.col("depth")))
+        .withColumn("priority", _priority_col())
         .select(
             "url_canon", "url_hash", "host", "host_bucket", "priority",
             "depth", "discovered_epoch",
@@ -768,8 +777,10 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     if compact:
         writes.append((url_seen_all, "url_seen_base"))
         writes.append((robots_all, "robots_base"))
-    seen_base = epoch if compact else _seen_base_epoch(root, epoch - 1)
-    robots_base = epoch if compact else _robots_base_epoch(root, epoch - 1)
+    seen_base = epoch if compact else _base_epoch(root, epoch - 1, "seen_base_epoch")
+    robots_base = (
+        epoch if compact else _base_epoch(root, epoch - 1, "robots_base_epoch")
+    )
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
@@ -785,10 +796,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
             fut.result()  # propagate failures before the manifest exists
 
     _t = _trace("snapshot-writes", _t)
-    fingerprints = {
-        str(r.host_bucket): r.fingerprint
-        for r in filters_new.select("host_bucket", "fingerprint").collect()
-    }
+    fingerprints = _collect_fingerprints(filters_new)
     with open(_manifest_path(root, epoch), "w") as f:
         json.dump(
             {
@@ -819,10 +827,7 @@ def _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt):
     fmt.write(spark.createDataFrame([], ROBOTS_SCHEMA),
               os.path.join(d, "robots_delta"))
     fmt.write(filters, os.path.join(d, "filters"))
-    fingerprints = {
-        str(r.host_bucket): r.fingerprint
-        for r in filters.select("host_bucket", "fingerprint").collect()
-    }
+    fingerprints = _collect_fingerprints(filters)
     with open(_manifest_path(root, epoch), "w") as f:
         json.dump(
             {
@@ -830,8 +835,8 @@ def _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt):
                 "n_fetched": 0,
                 "filter_fingerprints": fingerprints,
                 "frontier_refs": {str(b): e for b, e in sorted(refs.items())},
-                "seen_base_epoch": _seen_base_epoch(root, epoch - 1),
-                "robots_base_epoch": _robots_base_epoch(root, epoch - 1),
+                "seen_base_epoch": _base_epoch(root, epoch - 1, "seen_base_epoch"),
+                "robots_base_epoch": _base_epoch(root, epoch - 1, "robots_base_epoch"),
             },
             f,
         )

@@ -176,7 +176,7 @@ def test_resume_across_ref_chain_and_compaction(spark, tmp_path):
     the oracle bit-for-bit (all state rebuilt purely from manifests)."""
     import os
 
-    from mlscraper_spark.crawl.engine import _seen_base_epoch, _snap_dir
+    from mlscraper_spark.crawl.engine import _base_epoch, _snap_dir
 
     web = WebConfig(n_hosts=4, max_pages_per_host=6)
     seeds = web.seeds(4)
@@ -194,7 +194,7 @@ def test_resume_across_ref_chain_and_compaction(spark, tmp_path):
     seen = {r.url_canon for r in read_url_seen(spark, root, last).collect()}
     assert seen == want.url_seen
     # the seen-compaction actually fired and the base table exists
-    base = _seen_base_epoch(root, last)
+    base = _base_epoch(root, last, "seen_base_epoch")
     assert base is not None and base >= 1
     assert os.path.isdir(os.path.join(_snap_dir(root, base), "url_seen_base"))
 
