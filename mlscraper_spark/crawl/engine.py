@@ -70,11 +70,19 @@ FETCHLOG_SCHEMA = (
 )
 FILTERS_SCHEMA = "host_bucket int, blob binary, fingerprint string"
 ROBOTS_SCHEMA = "host string, rules_json string, fetched_epoch int"
+# tokens AFTER an epoch's consumption, BEFORE the next refill; hosts whose
+# next avail is back at capacity are absent (the table self-garbage-collects)
+HOST_TOKENS_SCHEMA = "host string, tokens int"
 
 
 @dataclass(frozen=True)
 class CrawlConfig:
-    budget_per_host: int = 2
+    budget_per_host: int = 2  # politeness REFILL: tokens a host gains per epoch
+    tokens_capacity: int | None = None  # politeness token-bucket CAPACITY:
+    # a host idle long enough accrues up to this many tokens and may burst
+    # them in one epoch (north_star: per-host politeness token buckets).
+    # None = budget_per_host, the degenerate fixed-budget bucket — that
+    # path keeps zero extra state and zero extra jobs per epoch.
     n_buckets: int = 8
     filter_buckets: int = 1 << 16  # cuckoo table size per host_bucket:
     # capacity ≈ filter_buckets × 4 slots (≈ 262k URLs/bucket, 512 KiB
@@ -342,18 +350,37 @@ def _pdf_topk(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     return pdf[pdf.groupby("host").cumcount() < budget]
 
 
-def _politeness_select(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Per-host top-budget under (priority DESC, url_hash, url_canon).
+def _token_params(cfg: CrawlConfig) -> tuple[int, int]:
+    cap = cfg.tokens_capacity if cfg.tokens_capacity is not None else cfg.budget_per_host
+    refill = cfg.budget_per_host
+    assert cap >= refill >= 1, "tokens_capacity must be >= budget_per_host >= 1"
+    return cap, refill
+
+
+def _avail_col(tokens_col, cap: int, refill: int):
+    """Available tokens this epoch: absent host = full bucket = cap;
+    tracked host = min(cap, stored + refill).  Integer arithmetic —
+    deterministic, shared shape with the oracle."""
+    return F.when(tokens_col.isNull(), F.lit(cap)).otherwise(
+        F.least(F.lit(cap), tokens_col + F.lit(refill))
+    )
+
+
+def _politeness_select(frontier: DataFrame, cfg: CrawlConfig,
+                       host_tokens: DataFrame | None = None) -> DataFrame:
+    """Per-host token-bucket top-k under (priority DESC, url_hash,
+    url_canon).
 
     Phase 1 (Arrow stage over the scan, no shuffle): per-partition per-host
-    top-budget.  The union of per-partition winners is a superset of the
-    global winners for ANY row→partition assignment, so phase 2 — an exact
-    window top-k over that small union — yields exactly the oracle's
-    selection.  The frontier itself is never exchanged; when stored
-    buckets keep hosts partition-local (the layout ``_write_frontier``
-    produces), phase 1 already emits the exact answer and phase 2's
-    shuffle moves only ~budget×hosts rows."""
-    budget = cfg.budget_per_host
+    top-CAPACITY — a superset of the global winners for ANY row→partition
+    assignment and any avail ≤ capacity, so phase 2 — an exact window
+    top-k over that small union, joined with the (small) host-token state
+    — yields exactly the oracle's selection.  The frontier itself is never
+    exchanged; when stored buckets keep hosts partition-local (the layout
+    ``_write_frontier`` produces), phase 1 already emits the exact answer
+    and phase 2's shuffle moves only ~capacity×hosts rows."""
+    cap, refill = _token_params(cfg)
+    budget = cap
     cols = frontier.columns
 
     def _phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -383,10 +410,15 @@ def _politeness_select(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     w_host = Window.partitionBy("host").orderBy(
         F.desc("priority"), F.asc("url_hash"), F.asc("url_canon")
     )
+    ranked = local.withColumn("rn", F.row_number().over(w_host))
+    if cap == refill or host_tokens is None:
+        # degenerate bucket (avail is always cap) — no state join needed
+        return ranked.filter(F.col("rn") <= budget).drop("rn")
+    joined = ranked.join(host_tokens.withColumnRenamed("tokens", "_tok"),
+                         "host", "left")
     return (
-        local.withColumn("rn", F.row_number().over(w_host))
-        .filter(F.col("rn") <= budget)
-        .drop("rn")
+        joined.filter(F.col("rn") <= _avail_col(F.col("_tok"), cap, refill))
+        .drop("rn", "_tok")
     )
 
 
@@ -583,6 +615,35 @@ def read_url_seen(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
     )
 
 
+def read_host_tokens(spark: SparkSession, root: str, epoch: int) -> DataFrame:
+    """Politeness token state after an epoch; absent table = every host
+    at full capacity (the default-config path never writes one)."""
+    fmt = get_table_format(spark)
+    p = os.path.join(_snap_dir(root, epoch), "host_tokens")
+    if not fmt.exists(spark, p):
+        return spark.createDataFrame([], HOST_TOKENS_SCHEMA)
+    return fmt.read(spark, [p], HOST_TOKENS_SCHEMA)
+
+
+def _next_host_tokens(host_tokens: DataFrame, sel_counts: DataFrame,
+                      cfg: CrawlConfig) -> DataFrame:
+    """Refill every tracked host, consume where fetched, forget hosts
+    whose next avail is back at capacity (keeps the table sized by
+    recently-throttled hosts, not by all hosts ever seen)."""
+    cap, refill = _token_params(cfg)
+    j = host_tokens.withColumnRenamed("tokens", "_tok").join(
+        sel_counts, "host", "full_outer"
+    )
+    left = _avail_col(F.col("_tok"), cap, refill) - F.coalesce(
+        F.col("n_sel"), F.lit(0)
+    )
+    return (
+        j.withColumn("tokens", left.cast("int"))
+        .filter(F.least(F.lit(cap), F.col("tokens") + F.lit(refill)) < cap)
+        .select("host", "tokens")
+    )
+
+
 def read_robots(spark: SparkSession, root: str, upto_epoch: int) -> DataFrame:
     return _read_base_plus_deltas(
         spark, root, upto_epoch, "robots_base_epoch", "robots", ROBOTS_SCHEMA
@@ -617,19 +678,21 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     robots = read_robots(spark, root, epoch - 1)
     filters = fmt.read(spark, [os.path.join(prev, "filters")], FILTERS_SCHEMA)
     url_seen = read_url_seen(spark, root, epoch - 1)
+    host_tokens = read_host_tokens(spark, root, epoch - 1)
 
     # ---- politeness top-k (T6) + global fetch order --------------------
     # the politeness output is cached BEFORE seq assignment: the seq
     # offsets collect inside _assign_global_seq materializes this cache,
     # so the frontier scan + two-phase top-k run exactly once per epoch
-    pol = _politeness_select(frontier, cfg).cache()
+    pol = _politeness_select(frontier, cfg, host_tokens).cache()
     selected = _assign_global_seq(spark, pol).cache()
     n_selected = selected.count()
     _t = _trace("select", _t)
     if n_selected == 0:
         selected.unpersist()
         pol.unpersist()
-        _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt)
+        _write_empty_epoch(spark, root, epoch, refs, robots, filters,
+                           host_tokens, cfg, fmt)
         return 0
 
     # caches created below are released in the finally block even when a
@@ -638,7 +701,7 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     try:
         return _run_epoch_body(
             spark, root, epoch, web, cfg, refs, robots, filters,
-            url_seen, selected, n_selected, _caches, _t, fmt,
+            url_seen, host_tokens, selected, n_selected, _caches, _t, fmt,
         )
     finally:
         for df_ in _caches:
@@ -646,7 +709,8 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
 
 
 def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
-                    url_seen, selected, n_selected, _caches, _t, fmt):
+                    url_seen, host_tokens, selected, n_selected, _caches,
+                    _t, fmt):
     # ---- fetch + parse (S4, Arrow-batched, spread by url_hash) ---------
     fetch_fn, fetch_schema = _fetch_udf(web)
     # 4 waves per core, capped by config — partition count never changes
@@ -770,6 +834,16 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         (filters_new, "filters"),
         (metrics, "metrics"),
     ]
+    # politeness token state — only when the bucket is non-degenerate
+    # (cap == refill keeps this table nonexistent and costs nothing)
+    cap, refill = _token_params(cfg)
+    if cap > refill:
+        sel_counts = selected.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_sel")
+        )
+        writes.append(
+            (_next_host_tokens(host_tokens, sel_counts, cfg), "host_tokens")
+        )
     # periodic url_seen/robots compaction: fold base + all deltas (incl.
     # this epoch's) into a fresh base so reads stay O(seen_compact_every)
     # wide regardless of crawl age
@@ -813,13 +887,20 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     return n_selected
 
 
-def _write_empty_epoch(spark, root, epoch, refs, robots, filters, fmt):
+def _write_empty_epoch(spark, root, epoch, refs, robots, filters,
+                       host_tokens, cfg, fmt):
     """Nothing selected: carry every frontier bucket forward by reference
     (zero frontier I/O) and write empty deltas so readers of this epoch
     see complete tables.  The blob-lineage contract holds here too: this
     is the FINAL snapshot of every completed crawl, so its manifest must
     carry the same filter_fingerprints keys as every other epoch."""
     d = _snap_dir(root, epoch)
+    cap, refill = _token_params(cfg)
+    if cap > refill:
+        # refill still ticks on an empty epoch (tokens accrue with time)
+        empty_counts = spark.createDataFrame([], "host string, n_sel long")
+        fmt.write(_next_host_tokens(host_tokens, empty_counts, cfg),
+                  os.path.join(d, "host_tokens"))
     fmt.write(spark.createDataFrame([], SEEN_SCHEMA),
               os.path.join(d, "url_seen_delta"))
     fmt.write(spark.createDataFrame([], FETCHLOG_SCHEMA),

@@ -8,8 +8,16 @@ list + politeness budget (BASELINE.json north_rule).
 Epoch semantics (BSP):
   1. candidates = current frontier (never contains seen or robots-blocked
      URLs by construction);
-  2. politeness: per host, take the ``budget_per_host`` best candidates by
-     (priority DESC, url_hash ASC, url_canon ASC);
+  2. politeness is a per-host TOKEN BUCKET: capacity C
+     (``tokens_capacity``, default = refill), refill R
+     (``budget_per_host``) per epoch.  A host's available tokens this
+     epoch = min(C, stored + R), where hosts absent from the store are
+     full (stored = C - R ⇒ avail = C); take that many best candidates
+     by (priority DESC, url_hash ASC, url_canon ASC); afterwards
+     stored' = avail - fetched, and hosts whose NEXT avail would be C
+     are dropped from the store (so with C == R — the default — the
+     store is always empty and semantics reduce to the fixed per-epoch
+     budget).  All arithmetic is integral ⇒ deterministic.
   3. global fetch order: all selected, sorted by the same total order;
      ``seq`` is the position in that order;
   4. fetch (pure function), extract links, canonicalize; discoveries enter
@@ -39,6 +47,8 @@ class OracleState:
     url_seen: set = field(default_factory=set)  # url_canon
     fetch_log: list = field(default_factory=list)
     robots_cache: dict = field(default_factory=dict)  # host -> (rules, epoch)
+    host_tokens: dict = field(default_factory=dict)  # host -> tokens AFTER
+    # consumption, BEFORE next refill; hosts at full-next-avail are absent
 
 
 def _robots_blocked(url_canon: str, host: str, epoch: int, state: OracleState,
@@ -67,7 +77,10 @@ def _insert(state: OracleState, url_canon: str, depth: int, epoch: int,
 
 
 def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
-                 max_epochs: int) -> OracleState:
+                 max_epochs: int, tokens_capacity: int | None = None) -> OracleState:
+    cap = tokens_capacity if tokens_capacity is not None else budget_per_host
+    refill = budget_per_host
+    assert cap >= refill >= 1, "capacity must be >= refill >= 1"
     state = OracleState()
     for s in seeds:
         cs = try_canonicalize(s)
@@ -77,16 +90,31 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
     for epoch in range(max_epochs):
         if not state.frontier:
             break
-        # per-host politeness top-k under the shared total order
+        # per-host politeness token bucket under the shared total order
         by_host: dict[str, list] = {}
         for url, (depth, disc) in state.frontier.items():
             by_host.setdefault(host_of(url), []).append(
                 (-priority_of(depth), url_hash(url), url, depth)
             )
         selected = []
+        consumed: dict[str, int] = {}
         for host, entries in by_host.items():
+            avail = min(cap, state.host_tokens.get(host, cap) + refill) \
+                if host in state.host_tokens else cap
             entries.sort()
-            selected.extend(entries[:budget_per_host])
+            take = entries[:avail]
+            selected.extend(take)
+            consumed[host] = len(take)
+        # refill every tracked host, consume where fetched, forget hosts
+        # whose next avail is back at capacity
+        next_tokens: dict[str, int] = {}
+        for host in set(state.host_tokens) | set(consumed):
+            avail = min(cap, state.host_tokens.get(host, cap) + refill) \
+                if host in state.host_tokens else cap
+            left = avail - consumed.get(host, 0)
+            if min(cap, left + refill) < cap:
+                next_tokens[host] = left
+        state.host_tokens = next_tokens
         selected.sort()  # global fetch order
 
         for seq, (negp, uhash, url, depth) in enumerate(selected):

@@ -199,6 +199,35 @@ def test_resume_across_ref_chain_and_compaction(spark, tmp_path):
     assert os.path.isdir(os.path.join(_snap_dir(root, base), "url_seen_base"))
 
 
+def test_token_bucket_politeness_matches_oracle(spark, tmp_path):
+    """Non-degenerate politeness token bucket (capacity 5, refill 2):
+    hosts accrue tokens while starved and burst up to capacity later.
+    The engine must match the oracle bit-for-bit — fetch order, URL-seen,
+    and the burst pattern itself — including across a kill/resume."""
+    web = WebConfig(n_hosts=6, max_pages_per_host=12)
+    seeds = web.seeds(3)
+    cfg = CrawlConfig(budget_per_host=2, tokens_capacity=5, n_buckets=8)
+    want = crawl_oracle(seeds, web, budget_per_host=2, max_epochs=6,
+                        tokens_capacity=5)
+    # sanity: bucket semantics actually bite — some host bursts above the
+    # per-epoch refill at least once
+    per = {}
+    for r in want.fetch_log:
+        per[(r["epoch"], r["host"])] = per.get((r["epoch"], r["host"]), 0) + 1
+    assert max(per.values()) > 2, "web too small to exercise bursting"
+    assert max(per.values()) <= 5
+
+    root = str(tmp_path / "tokens")
+    run_crawl(spark, root, seeds, web, cfg, max_epochs=3)  # "kill"
+    run_crawl(spark, root, seeds, web, cfg, max_epochs=6)  # resume
+    assert _fetch_log_tuples(spark, root) == [
+        (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
+    ]
+    last = last_complete_epoch(root)
+    seen = {r.url_canon for r in read_url_seen(spark, root, last).collect()}
+    assert seen == want.url_seen
+
+
 def test_junk_seed_dropped_identically(spark, tmp_path, oracle_state):
     """An unparseable seed ('[') is dropped by BOTH engine and oracle —
     the crawl over the remaining seeds stays bit-for-bit identical."""
