@@ -89,6 +89,49 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 3600) -> DataFrame
     )
 
 
+def crawl_monitor(fetch_log: DataFrame) -> DataFrame:
+    """Shared batch/stream crawl-monitoring aggregation: per-epoch fetch
+    counts, discovered links/images, and non-200 errors.  Batch form runs
+    over ``read_fetch_log``; streaming form tails the same append-only
+    snapshot dirs live (``stream_fetch_log``) so an operator can watch a
+    crawl without re-reading its history — the test pins stream == batch."""
+    return fetch_log.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum("n_links").alias("n_links"),
+        F.sum("n_images").alias("n_images"),
+        F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("n_errors"),
+    )
+
+
+def stream_fetch_log(spark: SparkSession, crawl_root: str) -> DataFrame:
+    """File-source stream over every snapshot's fetch_log (append-only
+    parquet — new epochs appear as new files and flow through incrementally)."""
+    import os
+
+    from mlscraper_spark.crawl.engine import FETCHLOG_SCHEMA
+
+    return (
+        spark.readStream.schema(FETCHLOG_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(os.path.join(crawl_root, "snap_*", "fetch_log"))
+    )
+
+
+def run_crawl_monitor_to_memory(spark: SparkSession, crawl_root: str,
+                                table_name: str) -> None:
+    """Drain the currently-available fetch history through the monitor
+    aggregation into an in-memory sink (AvailableNow)."""
+    q = (
+        crawl_monitor(stream_fetch_log(spark, crawl_root))
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(spark: SparkSession, events_dir: str,
                          table_name: str, window: str = "6 hours") -> None:
     """Drain all currently-available input through the streaming aggregation

@@ -82,3 +82,32 @@ def test_stateful_sessionize_matches_batch_oracle(spark, sf_dir, tmp_path):
     ).fetchall()
     want = {u: (int(s), int(n)) for u, s, n in want_df}
     assert got == want
+
+
+def test_crawl_monitor_stream_matches_batch(spark, tmp_path):
+    """Live crawl monitoring: streaming the snapshot fetch_log dirs
+    through the shared monitor aggregation equals the batch form over
+    read_fetch_log — same per-epoch counters, no history re-read."""
+    from mlscraper_spark.crawl.engine import CrawlConfig, read_fetch_log, run_crawl
+    from mlscraper_spark.crawl.synthweb import WebConfig
+    from mlscraper_spark.streaming.pipeline import (
+        crawl_monitor,
+        run_crawl_monitor_to_memory,
+    )
+
+    web = WebConfig(n_hosts=6, max_pages_per_host=8)
+    root = str(tmp_path / "monitored")
+    run_crawl(spark, root, web.seeds(3), web,
+              CrawlConfig(budget_per_host=2, n_buckets=8), max_epochs=3)
+
+    run_crawl_monitor_to_memory(spark, root, "crawl_monitor")
+    got = {
+        r.epoch: (r.n_fetched, r.n_links, r.n_images, r.n_errors)
+        for r in spark.sql("SELECT * FROM crawl_monitor").collect()
+    }
+    want = {
+        r.epoch: (r.n_fetched, r.n_links, r.n_images, r.n_errors)
+        for r in crawl_monitor(read_fetch_log(spark, root)).collect()
+    }
+    assert got == want
+    assert set(got) == {0, 1, 2}
