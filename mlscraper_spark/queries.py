@@ -536,6 +536,74 @@ WHERE n_inter / (ca.n + cb.n - n_inter) >= 0.5
 """
 
 
+def q30_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup via inverted-index candidate generation.
+
+    Same shingle definition as q19 but a different candidate-generation
+    strategy: an inverted-index equi-join on the shingle hash itself,
+    with a **stop-gram cap** (shingles occurring in > 50 docs are dropped
+    from the index) — the frequency filter is what keeps the index join's
+    fan-out bounded at 100 TB (a gram shared by k docs contributes k²
+    candidate pairs; capping k caps the quadratic term).  Verification is
+    the exact Jaccard over the *full* shingle sets, so the cap only
+    affects recall of candidates, never the reported similarity.
+    Complements q19 (minhash banding) as the exact-recall-for-rare-grams
+    alternative; at web scale you run the capped index for short docs and
+    minhash for long ones.
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 50)
+    idx = sh.join(rare.select("h"), "h")
+    ia, ib = idx.alias("ia"), idx.alias("ib")
+    cand = (
+        ia.join(ib, (F.col("ia.h") == F.col("ib.h"))
+                & (F.col("ia.doc_id") < F.col("ib.doc_id")))
+        .select(F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.h") == F.col("sb.h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac_raw = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(jac_raw >= 0.5)
+        .select("doc_a", "doc_b", jac_raw.alias("jaccard"))
+    )
+
+
+Q30_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+rare AS (
+  SELECT h FROM shingles GROUP BY h HAVING count(*) <= 50),
+idx AS (
+  SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_inter
+  FROM cand
+  JOIN shingles sa ON sa.doc_id = doc_a
+  JOIN shingles sb ON sb.doc_id = doc_b AND sa.h = sb.h
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       n_inter / (ca.n + cb.n - n_inter) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE n_inter / (ca.n + cb.n - n_inter) >= 0.5
+"""
+
+
 def q20_simhash(spark, sf_dir):
     """SimHash fingerprint (16-bit) over whitespace tokens.
 
@@ -682,6 +750,77 @@ SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
 FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
 WHERE q.vec_id < 20
 """.format(cos=_cosine_sql("q.embedding", "e.embedding"))
+
+
+def q29_ann_ivf(spark, sf_dir):
+    """ANN, IVF-style: coarse-quantize every vector to its nearest of 16
+    fixed centroids, then search only the query's cell (nprobe=1).
+
+    The coarse quantizer (16 × 64 floats — centroids are the vectors with
+    vec_id < 16, deterministic in both engines) is collected driver-side
+    and folded into the plan as literals, so cell assignment is a
+    **map-only** stage: 16 JVM-side cosine expressions + an array_max
+    argmax, no shuffle, no UDF.  That is exactly how IVF runs on a
+    cluster — the quantizer is broadcast state, only the cell equi-join
+    shuffles, and each cell holds ~1/16 of the corpus (vs q22's sign-LSH
+    whose bucket sizes follow the data distribution).  Assignment ties
+    break toward the smaller centroid id in both engines (struct-max on
+    (cos, -cid) here, ORDER BY cos DESC, cid ASC in the oracle).
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # bounded collect: the 16-row coarse quantizer, never the corpus
+    cents = sorted(emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id)
+    scored_cells = F.array(*[
+        F.struct(
+            F.round(_cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in r.v])), 4)
+            .alias("c"),
+            F.lit(-int(r.vec_id)).cast("long").alias("negcid"),
+        )
+        for r in cents
+    ])
+    assigned = emb.withColumn("cell", -F.array_max(scored_cells)["negcid"])
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    pairs = q.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "v", "cell"), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", "cell",
+        F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+Q29_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, embedding, cid AS cell
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_c}, 4) DESC, c.cid ASC) AS arn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE arn = 1)
+SELECT query_id, neighbor_id, cell, cos, rn
+FROM (
+  SELECT query_id, neighbor_id, cell, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, q.cell,
+           round({cos_q}, 4) AS cos
+    FROM assign q JOIN assign e ON q.cell = e.cell AND q.vec_id <> e.vec_id
+    WHERE q.vec_id < 5))
+WHERE rn <= 3
+""".format(
+    cos_c=_cosine_sql("e.embedding", "c.cv"),
+    cos_q=_cosine_sql("q.embedding", "e.embedding"),
+)
 
 
 # --------------------------------------------------------------------------
@@ -969,6 +1108,8 @@ QUERIES: dict[str, Callable] = {
     "q26_image_codec": q26_image_codec,
     "q27_embedding_neardup": q27_embedding_neardup,
     "q28_tumbling_window": q28_tumbling_window,
+    "q29_ann_ivf": q29_ann_ivf,
+    "q30_ngram_jaccard": q30_ngram_jaccard,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1000,4 +1141,6 @@ ORACLE_SQL: dict[str, str] = {
     "q26_image_codec": Q26_SQL,
     "q27_embedding_neardup": Q27_SQL,
     "q28_tumbling_window": Q28_SQL,
+    "q29_ann_ivf": Q29_SQL,
+    "q30_ngram_jaccard": Q30_SQL,
 }

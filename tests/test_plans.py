@@ -72,3 +72,28 @@ def test_extraction_stage_has_no_shuffle(spark, sf):
     df = Q.q23_extract_scraper(spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "extraction hot path must be shuffle-free"
+
+
+def test_ivf_assignment_is_map_only(spark, sf):
+    """q29's coarse-quantizer assignment must fold the 16 centroids into
+    literals: the scan→assign prefix has no Exchange and no python UDF —
+    the only shuffles in the whole query are the cell equi-join and the
+    per-query top-k window."""
+    plan = _plan(spark, sf, Q.q29_ann_ivf)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one shuffle pair for the self-join on cell + one for the window;
+    # assignment itself contributes none (it appears below the exchanges
+    # as pure Project over the scan)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_ngram_index_caps_stop_grams(spark, sf):
+    """q30's inverted-index join must be a hash equi-join on the shingle
+    hash (never a nested-loop/cartesian) with the df<=50 cap applied
+    before the self-join."""
+    plan = _plan(spark, sf, Q.q30_ngram_jaccard)
+    # hash equi-join on the shingle hash (broadcast at toy sf, shuffled at
+    # scale — both are equi-joins); never a nested-loop/cartesian
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
