@@ -40,8 +40,12 @@ def main():
     from mlscraper_spark.session import get_spark
 
     spark = get_spark("mlscraper-spark-bench", master=master)
-    # warm the JVM/python workers so startup cost isn't attributed to q1
+    # warm the JVM/python workers so startup cost isn't attributed to q1:
+    # a JVM-only job alone leaves the Arrow python worker pool cold, and
+    # its ~5 s fork+import spin-up was being charged to the first python
+    # stage (the crawl probe's canonicalize UDF)
     spark.range(1000).selectExpr("sum(id)").collect()
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -73,6 +77,19 @@ def main():
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _warm_python_workers(spark):
+    """Spin up one Arrow python worker per core (imports pandas/pyarrow in
+    each) so per-session interpreter startup isn't measured as query time."""
+
+    def _identity(batches):
+        for pdf in batches:
+            yield pdf
+
+    n = spark.sparkContext.defaultParallelism
+    (spark.range(n * 4).repartition(n)
+     .mapInPandas(_identity, "id long").count())
 
 
 def _throughput(spark):

@@ -263,11 +263,14 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     """Write the epoch=-1 snapshot: seeded frontier, empty everything else."""
     fmt = get_table_format(spark)
     raw = spark.createDataFrame([(s,) for s in seeds], "raw string")
+    # cache: the canonicalized seed set feeds BOTH the robots host scan and
+    # the frontier build — uncached, the canonicalize UDF pipeline re-runs
+    # for every consumer (measured 3× on the seed path)
     c = raw.select(_canonicalize_udf("raw").alias("c")).select("c.*").filter(
         F.col("url_canon").isNotNull()  # same policy as discoveries: an
         # unparseable seed is dropped (oracle does the same), never a
         # phantom null-host frontier row
-    )
+    ).cache()
     frontier = (
         _with_host_bucket(c, cfg)
         .withColumn("url_hash", F.xxhash64("url_canon"))
@@ -275,7 +278,8 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
         .withColumn("discovered_epoch", F.lit(0))
         .withColumn("priority", _priority_col())
     )
-    robots = _robots_rules_df(spark, frontier.select("host").distinct(), 0, web)
+    # cache: robots is broadcast into the frontier filter AND written below
+    robots = _robots_rules_df(spark, frontier.select("host").distinct(), 0, web).cache()
     frontier = _filter_robots(frontier, robots).select(
         "url_canon", "url_hash", "host", "host_bucket",
         "priority", "depth", "discovered_epoch",
@@ -285,12 +289,28 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     )
 
     d = _snap_dir(root, -1)
-    _write_frontier(fmt, frontier, d, cfg.n_buckets)
+    # independent tables written concurrently, same pattern as the epoch
+    # snapshot (the manifest below is the atomic completion marker)
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        (spark.createDataFrame([], SEEN_SCHEMA), "url_seen_delta"),
+        (robots, "robots_delta"),
+        (spark.createDataFrame([], FILTERS_SCHEMA), "filters"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
+        futs = [pool.submit(_write_frontier, fmt, frontier, d, cfg.n_buckets)]
+        futs += [
+            pool.submit(
+                lambda df, name: fmt.write(df, os.path.join(d, name)), df, name
+            )
+            for df, name in writes
+        ]
+        for fut in futs:
+            fut.result()
     frontier.unpersist()
-    fmt.write(spark.createDataFrame([], SEEN_SCHEMA),
-              os.path.join(d, "url_seen_delta"))
-    fmt.write(robots, os.path.join(d, "robots_delta"))
-    fmt.write(spark.createDataFrame([], FILTERS_SCHEMA), os.path.join(d, "filters"))
+    c.unpersist()
+    robots.unpersist()
     with open(_manifest_path(root, -1), "w") as f:
         json.dump(
             {
