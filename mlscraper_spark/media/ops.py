@@ -1,0 +1,245 @@
+"""Audio/video multimodal-column operators.
+
+Same pattern as ``images/ops.py`` (the input_hint payload path): media
+travel as opaque ``binary`` columns with typed metadata; decode /
+feature-extract / frame-sample run as Arrow-batched ``mapInPandas``
+stages — embarrassingly parallel, no shuffle, no per-row Python UDFs.
+
+Real vs stubbed, honestly split:
+
+* **Real**: the Spark-side plumbing — schemas, batch iteration, the
+  ``pcm16`` audio codec (raw little-endian int16 mono) and the ``rawv``
+  video codec (concatenated raw RGB frames) are fully implemented and
+  vectorized with numpy, so every operator is testable end-to-end on
+  deterministic synthetic media.
+* **Stubbed**: compressed formats (mp3/opus/h264/mp4) raise
+  ``NotImplementedError`` inside ``decode_*`` — the decoder libraries
+  are not in this container.  Feature operators catch it and emit
+  ``decode_ok=false`` rows instead of failing the task (same policy as
+  ``image_features``), so one undecodable blob can never kill a job.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("transcript", T.StringType(), True),
+    ]
+)
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+_SAMPLE_RATE = 8000
+
+
+# ---------------------------------------------------------------------------
+# codecs: pcm16 (audio) and rawv (video) are real; compressed formats stub
+# ---------------------------------------------------------------------------
+
+
+def synth_audio(audio_id: str, n_samples: int):
+    """Deterministic fake waveform: a quantized sine whose frequency and
+    amplitude derive from the id hash.  int16 numpy array."""
+    import numpy as np
+
+    from mlscraper_spark.crawl.urlnorm import xxhash64
+
+    h = xxhash64(audio_id.encode()) & 0x7FFFFFFF
+    freq = 100 + (h % 900)                     # 100..999 Hz
+    amp = 1000 + (h % 20000)                   # well inside int16
+    t = np.arange(n_samples, dtype=np.float64) / _SAMPLE_RATE
+    return (amp * np.sin(2 * np.pi * freq * t)).astype("<i2")
+
+
+def encode_audio(samples, fmt: str) -> bytes:
+    if fmt == "pcm16":
+        return samples.astype("<i2").tobytes()
+    raise NotImplementedError(f"audio encoder for {fmt!r} not available here")
+
+
+def decode_audio(blob: bytes, fmt: str):
+    if fmt == "pcm16":
+        import numpy as np
+
+        return np.frombuffer(blob, dtype="<i2")
+    # mp3/opus/... need decoder libs absent from this container
+    raise NotImplementedError(f"audio decoder for {fmt!r} not available here")
+
+
+def synth_video(video_id: str, w: int, h: int, n_frames: int):
+    """Deterministic fake clip: per-frame images from the image synth
+    (frame f of clip v == make_image(f'{v}#{f}')).  uint8 (F,H,W,3)."""
+    import numpy as np
+
+    from mlscraper_spark.images.codec import make_image
+
+    return np.stack(
+        [make_image(f"{video_id}#{f}", w, h) for f in range(n_frames)]
+    ).astype(np.uint8)
+
+
+def encode_video(frames, fmt: str) -> bytes:
+    if fmt == "rawv":
+        return frames.astype("uint8").tobytes()
+    raise NotImplementedError(f"video encoder for {fmt!r} not available here")
+
+
+def decode_video(blob: bytes, fmt: str, w: int, h: int):
+    if fmt == "rawv":
+        import numpy as np
+
+        return np.frombuffer(blob, dtype=np.uint8).reshape(-1, h, w, 3)
+    # h264/mp4/... need decoder libs absent from this container
+    raise NotImplementedError(f"video decoder for {fmt!r} not available here")
+
+
+# ---------------------------------------------------------------------------
+# sources: ids → media tables (deterministic, no external data)
+# ---------------------------------------------------------------------------
+
+
+def synth_audio_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids → AUDIO_SCHEMA rows.  Duration derives from the id hash
+    (0.25–2.25 s at 8 kHz) so the table is a pure function of the ids."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mlscraper_spark.crawl.urlnorm import xxhash64
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                audio_id = f"audio/{raw_id}"
+                n = _SAMPLE_RATE // 4 + (
+                    xxhash64(audio_id.encode()) % (2 * _SAMPLE_RATE)
+                )
+                blob = encode_audio(synth_audio(audio_id, n), "pcm16")
+                rows.append(
+                    (audio_id, blob, _SAMPLE_RATE, n, "pcm16",
+                     f"transcript for {raw_id}")
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return ids_df.select(id_col).mapInPandas(_run, AUDIO_SCHEMA)
+
+
+def synth_video_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ids → VIDEO_SCHEMA rows (16×16 clips, 4–11 frames, fps 8)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mlscraper_spark.crawl.urlnorm import xxhash64
+
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                video_id = f"video/{raw_id}"
+                nf = 4 + int(xxhash64(video_id.encode()) % 8)
+                blob = encode_video(synth_video(video_id, 16, 16, nf), "rawv")
+                rows.append((video_id, blob, 16, 16, nf, 8, "rawv"))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return ids_df.select(id_col).mapInPandas(_run, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# feature / frame-sample operators (decode path)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_features(audio_df: DataFrame) -> DataFrame:
+    """Decode + feature-extract: duration and RMS amplitude per clip.
+    Undecodable formats yield decode_ok=false rows, never task failures."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for audio_id, blob, sr, fmt in zip(
+                pdf["audio_id"], pdf["bytes"], pdf["sample_rate"], pdf["fmt"]
+            ):
+                try:
+                    s = decode_audio(bytes(blob), fmt).astype(np.float64)
+                    rows.append(
+                        (audio_id, round(len(s) / sr, 4),
+                         round(float(np.sqrt(np.mean(s * s))), 4), True)
+                    )
+                except NotImplementedError:
+                    rows.append((audio_id, None, None, False))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return audio_df.select("audio_id", "bytes", "sample_rate", "fmt").mapInPandas(
+        _run, AUDIO_FEATURES_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_png", T.BinaryType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def sample_frames(video_df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame-sample every k-th frame, re-encode lossless (ppm) + phash —
+    the training-data shape for video: clip binary in, per-frame image
+    rows out, all inside one Arrow batch (no shuffle, fan-out happens
+    within the task)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mlscraper_spark.images.codec import encode, phash
+
+        for pdf in batches:
+            rows = []
+            for video_id, blob, w, h, fmt in zip(
+                pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    frames = decode_video(bytes(blob), fmt, int(w), int(h))
+                except NotImplementedError:
+                    rows.append((video_id, -1, None, None, False))
+                    continue
+                for idx in range(0, len(frames), every_k):
+                    f = frames[idx]
+                    rows.append(
+                        (video_id, idx, encode(f, "ppm"), phash(f), True)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return video_df.select("video_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _run, FRAMES_SCHEMA
+    )

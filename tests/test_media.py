@@ -1,0 +1,118 @@
+"""Audio/video multimodal plumbing: schemas, Arrow batch shapes, codec
+round-trips, frame sampling, and the one-bad-blob-never-fails-a-task
+policy (mirrors test_images.py for the media module)."""
+import numpy as np
+import pytest
+
+from mlscraper_spark.media.ops import (
+    AUDIO_SCHEMA,
+    FRAMES_SCHEMA,
+    VIDEO_SCHEMA,
+    audio_features,
+    decode_audio,
+    decode_video,
+    encode_audio,
+    encode_video,
+    sample_frames,
+    synth_audio,
+    synth_audio_table,
+    synth_video,
+    synth_video_table,
+)
+
+
+def test_pcm16_roundtrip_bit_exact():
+    s = synth_audio("audio/42", 4000)
+    assert np.array_equal(decode_audio(encode_audio(s, "pcm16"), "pcm16"), s)
+
+
+def test_rawv_roundtrip_bit_exact():
+    v = synth_video("video/7", 16, 16, 5)
+    assert np.array_equal(decode_video(encode_video(v, "rawv"), "rawv", 16, 16), v)
+
+
+def test_compressed_codecs_stub_loudly():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00", "mp3")
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00", "mp4", 16, 16)
+    with pytest.raises(NotImplementedError):
+        encode_audio(synth_audio("a", 10), "opus")
+
+
+def test_audio_table_and_features(spark):
+    ids = spark.range(20).selectExpr("cast(id as string) as doc_id")
+    audio = synth_audio_table(ids)
+    assert audio.schema == AUDIO_SCHEMA
+    feats = audio_features(audio).collect()
+    assert len(feats) == 20
+    assert all(r.decode_ok for r in feats)
+    # duration = n_samples / sample_rate exactly, rms positive
+    by_id = {r.audio_id: r for r in audio.select("audio_id", "n_samples").collect()}
+    for r in feats:
+        assert r.duration_s == round(by_id[r.audio_id].n_samples / 8000, 4)
+        assert r.rms > 0
+    # determinism: same ids → same features
+    again = sorted(map(tuple, audio_features(synth_audio_table(ids)).collect()))
+    assert again == sorted(map(tuple, feats))
+
+
+def test_video_table_and_frame_sampling(spark):
+    ids = spark.range(10).selectExpr("cast(id as string) as doc_id")
+    video = synth_video_table(ids)
+    assert video.schema == VIDEO_SCHEMA
+    frames = sample_frames(video, every_k=2)
+    assert frames.schema == FRAMES_SCHEMA
+    rows = frames.collect()
+    nf = {r.video_id: r.n_frames for r in video.select("video_id", "n_frames").collect()}
+    got = {}
+    for r in rows:
+        assert r.decode_ok
+        got[r.video_id] = got.get(r.video_id, 0) + 1
+    # every-2nd sampling: ceil(n_frames / 2) frames per clip
+    assert got == {vid: (n + 1) // 2 for vid, n in nf.items()}
+    # sampled frames are the synth frames, re-encoded lossless
+    from mlscraper_spark.images.codec import decode_ppm, make_image
+
+    r0 = min(rows, key=lambda r: (r.video_id, r.frame_idx))
+    assert np.array_equal(
+        decode_ppm(bytes(r0.frame_png)),
+        make_image(f"{r0.video_id}#{r0.frame_idx}", 16, 16),
+    )
+
+
+def test_bad_blob_yields_row_not_task_failure(spark):
+    import pandas as pd
+
+    audio = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "audio_id": ["audio/ok", "audio/compressed"],
+                "bytes": [bytes(encode_audio(synth_audio("audio/ok", 800), "pcm16")),
+                          b"\xff\xfb\x90"],
+                "sample_rate": [8000, 8000],
+                "n_samples": [800, 0],
+                "fmt": ["pcm16", "mp3"],
+                "transcript": ["t", "t"],
+            }
+        ),
+        AUDIO_SCHEMA,
+    )
+    feats = {r.audio_id: r for r in audio_features(audio).collect()}
+    assert feats["audio/ok"].decode_ok
+    assert not feats["audio/compressed"].decode_ok
+    assert feats["audio/compressed"].rms is None
+
+    video = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "video_id": ["video/mp4"],
+                "bytes": [b"\x00\x00\x00\x18ftyp"],
+                "w": [16], "h": [16], "n_frames": [3], "fps": [8],
+                "fmt": ["mp4"],
+            }
+        ),
+        VIDEO_SCHEMA,
+    )
+    rows = sample_frames(video).collect()
+    assert len(rows) == 1 and not rows[0].decode_ok
