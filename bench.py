@@ -27,10 +27,21 @@ HEADLINE = [
     "q21_cosine_topk",       # brute-force similarity
     "q23_extract_scraper",   # distributed DOM parse + plan extraction
     "q24_match_scan",        # distributed value-match scan
+    "q29_ann_ivf",           # IVF ANN (broadcast quantizer, cell join)
 ]
 
 
+def _loadavg():
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return None
+
+
 def main():
+    global _LOAD0
+    _LOAD0 = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = os.environ.get("BENCH_QUERIES")
     names = names.split(",") if names else HEADLINE
@@ -74,6 +85,11 @@ def main():
         "extract_rows_per_sec": extract_rows_per_sec,
         "master": spark.sparkContext.master,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        # the sandbox host carries unpredictable external load; a 1-minute
+        # loadavg >~2 at start inflates every number above (see
+        # BENCH/BASELINE.md) — recorded so a noisy round is identifiable
+        "loadavg_start": _LOAD0,
+        "loadavg_end": _loadavg(),
     }
     print(json.dumps(out))
     spark.stop()

@@ -55,3 +55,13 @@ def scrape(pages_df: DataFrame, plan: dict) -> DataFrame:
     from mlscraper_spark.operators.extract import extract_with_plan
 
     return extract_with_plan(pages_df, plan)
+
+
+def scrape_one(html: bytes | str, plan: dict) -> object:
+    """Driver-side single-page extraction — the reference's
+    ``scraper.get(Page(html))`` ergonomics (README.rst:35-40) for users
+    who hold one page, not a DataFrame.  Identical plan semantics to the
+    distributed ``scrape`` (both call ``apply_plan_to_html``)."""
+    from mlscraper_spark.training.scrapers import apply_plan_to_html
+
+    return apply_plan_to_html(html, plan, strict=False)

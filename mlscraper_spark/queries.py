@@ -757,30 +757,45 @@ def q29_ann_ivf(spark, sf_dir):
     fixed centroids, then search only the query's cell (nprobe=1).
 
     The coarse quantizer (16 × 64 floats — centroids are the vectors with
-    vec_id < 16, deterministic in both engines) is collected driver-side
-    and folded into the plan as literals, so cell assignment is a
-    **map-only** stage: 16 JVM-side cosine expressions + an array_max
-    argmax, no shuffle, no UDF.  That is exactly how IVF runs on a
-    cluster — the quantizer is broadcast state, only the cell equi-join
-    shuffles, and each cell holds ~1/16 of the corpus (vs q22's sign-LSH
-    whose bucket sizes follow the data distribution).  Assignment ties
-    break toward the smaller centroid id in both engines (struct-max on
-    (cos, -cid) here, ORDER BY cos DESC, cid ASC in the oracle).
+    vec_id < 16, deterministic in both engines) is **broadcast state**:
+    a BroadcastNestedLoopJoin fans each vector out against the 16
+    centroids and a partial-aggregated max(struct) takes the per-vector
+    argmax, so the assignment shuffle moves exactly one row per vector
+    regardless of corpus size — exactly how IVF runs on a cluster.  Each
+    cell then holds ~1/16 of the corpus (vs q22's sign-LSH whose bucket
+    sizes follow the data distribution) and only the cell equi-join + the
+    per-query top-k window shuffle.  Assignment ties break toward the
+    smaller centroid id in both engines (struct-max on (cos, -cid) here,
+    ORDER BY cos DESC, cid ASC in the oracle).  No UDFs, no driver-side
+    collect.
     """
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    # bounded collect: the 16-row coarse quantizer, never the corpus
-    cents = sorted(emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id)
-    scored_cells = F.array(*[
-        F.struct(
-            F.round(_cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in r.v])), 4)
-            .alias("c"),
-            F.lit(-int(r.vec_id)).cast("long").alias("negcid"),
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # assignment: broadcast the 16-row quantizer against every vector and
+    # take the per-vector argmax with a partial-aggregated max(struct) —
+    # map-side combine collapses the ×16 fan-out before the one exchange
+    # on vec_id, so the shuffle moves one row per vector at any scale
+    best = (
+        emb.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),  # identical across the group
+            F.max(
+                F.struct(
+                    F.round(_cosine(F.col("v"), F.col("cv")), 4).alias("c"),
+                    (-F.col("cid")).alias("negcid"),
+                )
+            ).alias("b"),
         )
-        for r in cents
-    ])
-    assigned = emb.withColumn("cell", -F.array_max(scored_cells)["negcid"])
+    )
+    # cache: both sides of the cell self-join read the assignment
+    assigned = best.select(
+        "vec_id", "v", (-F.col("b.negcid")).alias("cell")
+    ).cache()
     q = assigned.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
     )

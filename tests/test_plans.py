@@ -74,17 +74,25 @@ def test_extraction_stage_has_no_shuffle(spark, sf):
     assert "Exchange" not in plan, "extraction hot path must be shuffle-free"
 
 
-def test_ivf_assignment_is_map_only(spark, sf):
-    """q29's coarse-quantizer assignment must fold the 16 centroids into
-    literals: the scan→assign prefix has no Exchange and no python UDF —
-    the only shuffles in the whole query are the cell equi-join and the
-    per-query top-k window."""
+def test_ivf_quantizer_is_broadcast(spark, sf):
+    """q29's coarse quantizer must be broadcast (the 16-centroid side
+    never shuffles the corpus), assignment must partial-aggregate before
+    its one exchange per vector, and nothing may fall back to python."""
     plan = _plan(spark, sf, Q.q29_ann_ivf)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # one shuffle pair for the self-join on cell + one for the window;
-    # assignment itself contributes none (it appears below the exchanges
-    # as pure Project over the scan)
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "BroadcastExchange" in plan  # quantizer is broadcast state
+    assert "partial_max" in plan or "partial_first" in plan, (
+        "argmax must map-side combine the ×16 fan-out")
+    # corpus-sized hash exchanges: assignment (vec_id), cell self-join ×2,
+    # top-k window — never more.  Count DISTINCT plan ids: the cached
+    # assignment subtree prints once under each InMemoryTableScan
+    import re
+
+    distinct = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning.*\[plan_id=(\d+)\]", plan)
+    }
+    assert len(distinct) <= 4, plan
 
 
 def test_ngram_index_caps_stop_grams(spark, sf):

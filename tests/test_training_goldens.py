@@ -98,6 +98,13 @@ def test_quotes_example_offline():
         "name": "J.K. Rowling",
         "born": "July 31, 1965",
     }
+    # the public single-page API (reference scraper.get ergonomics) agrees
+    from mlscraper_spark.api import scrape_one
+
+    assert scrape_one(quotes_author_page("rowling"), plan) == {
+        "name": "J.K. Rowling",
+        "born": "July 31, 1965",
+    }
 
 
 def test_no_scraper_found_raises():
