@@ -40,8 +40,7 @@ def _loadavg():
 
 
 def main():
-    global _LOAD0
-    _LOAD0 = _loadavg()
+    load0 = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = os.environ.get("BENCH_QUERIES")
     names = names.split(",") if names else HEADLINE
@@ -99,7 +98,7 @@ def main():
         # the sandbox host carries unpredictable external load; a 1-minute
         # loadavg >~2 at start inflates every number above (see
         # BENCH/BASELINE.md) — recorded so a noisy round is identifiable
-        "loadavg_start": _LOAD0,
+        "loadavg_start": load0,
         "loadavg_end": _loadavg(),
     }
     print(json.dumps(out))

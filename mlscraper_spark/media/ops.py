@@ -186,13 +186,18 @@ def audio_features(audio_df: DataFrame) -> DataFrame:
             for audio_id, blob, sr, fmt in zip(
                 pdf["audio_id"], pdf["bytes"], pdf["sample_rate"], pdf["fmt"]
             ):
+                # broad catch on purpose (same policy as extract_with_plan):
+                # stubbed formats raise NotImplementedError, but a null
+                # blob (TypeError), truncated pcm16 (ValueError), or
+                # sample_rate=0 (ZeroDivisionError) must equally yield a
+                # decode_ok=false row, never a task failure
                 try:
                     s = decode_audio(bytes(blob), fmt).astype(np.float64)
                     rows.append(
                         (audio_id, round(len(s) / sr, 4),
                          round(float(np.sqrt(np.mean(s * s))), 4), True)
                     )
-                except NotImplementedError:
+                except Exception:
                     rows.append((audio_id, None, None, False))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
@@ -228,9 +233,12 @@ def sample_frames(video_df: DataFrame, every_k: int = 2) -> DataFrame:
             for video_id, blob, w, h, fmt in zip(
                 pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
+                # broad catch: stubbed fmt, null blob, or a byte count
+                # that doesn't tile into (h, w, 3) frames all downgrade
+                # to a decode_ok=false row (see audio_features)
                 try:
                     frames = decode_video(bytes(blob), fmt, int(w), int(h))
-                except NotImplementedError:
+                except Exception:
                     rows.append((video_id, -1, None, None, False))
                     continue
                 for idx in range(0, len(frames), every_k):

@@ -87,13 +87,12 @@ def run_at(master: str, tag: str) -> dict:
     spark = get_spark(f"scaling-{tag}", master=master,
                       shuffle_partitions=32)
     spark.range(1000).selectExpr("sum(id)").collect()  # warm JVM
-    # warm the Arrow python worker pool too (same rationale as bench.py:
-    # per-session interpreter fork+import is cluster startup, not engine
-    # throughput; it also biases the two legs differently)
-    n = spark.sparkContext.defaultParallelism
-    spark.range(n * 4).repartition(n).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    # shared warmup recipe — per-session interpreter fork+import is
+    # cluster startup, not engine throughput, and it biases the two legs
+    # differently
+    from bench import _warm_python_workers
+
+    _warm_python_workers(spark)
     ext_sec, ext_rows = extraction_job(spark, M_URLS)
     crawl_sec, crawl_urls = crawl_job(spark, CRAWL_HOSTS, f"/tmp/scaling_{tag}")
     spark.stop()

@@ -87,32 +87,38 @@ def test_bad_blob_yields_row_not_task_failure(spark):
     audio = spark.createDataFrame(
         pd.DataFrame(
             {
-                "audio_id": ["audio/ok", "audio/compressed"],
+                "audio_id": ["audio/ok", "audio/compressed", "audio/null",
+                             "audio/truncated", "audio/sr0"],
                 "bytes": [bytes(encode_audio(synth_audio("audio/ok", 800), "pcm16")),
-                          b"\xff\xfb\x90"],
-                "sample_rate": [8000, 8000],
-                "n_samples": [800, 0],
-                "fmt": ["pcm16", "mp3"],
-                "transcript": ["t", "t"],
+                          b"\xff\xfb\x90", None, b"\x01\x02\x03",
+                          bytes(encode_audio(synth_audio("audio/sr0", 80), "pcm16"))],
+                "sample_rate": [8000, 8000, 8000, 8000, 0],
+                "n_samples": [800, 0, 0, 0, 80],
+                "fmt": ["pcm16", "mp3", "pcm16", "pcm16", "pcm16"],
+                "transcript": ["t"] * 5,
             }
         ),
         AUDIO_SCHEMA,
     )
     feats = {r.audio_id: r for r in audio_features(audio).collect()}
     assert feats["audio/ok"].decode_ok
-    assert not feats["audio/compressed"].decode_ok
-    assert feats["audio/compressed"].rms is None
+    # stubbed fmt, null blob, odd-length pcm16, zero sample rate — every
+    # failure mode downgrades to a row, never a task failure
+    for bad in ("audio/compressed", "audio/null", "audio/truncated", "audio/sr0"):
+        assert not feats[bad].decode_ok, bad
+        assert feats[bad].rms is None, bad
 
     video = spark.createDataFrame(
         pd.DataFrame(
             {
-                "video_id": ["video/mp4"],
-                "bytes": [b"\x00\x00\x00\x18ftyp"],
-                "w": [16], "h": [16], "n_frames": [3], "fps": [8],
-                "fmt": ["mp4"],
+                "video_id": ["video/mp4", "video/null", "video/badlen"],
+                "bytes": [b"\x00\x00\x00\x18ftyp", None, b"\x01\x02\x03\x04"],
+                "w": [16] * 3, "h": [16] * 3, "n_frames": [3] * 3,
+                "fps": [8] * 3,
+                "fmt": ["mp4", "rawv", "rawv"],
             }
         ),
         VIDEO_SCHEMA,
     )
     rows = sample_frames(video).collect()
-    assert len(rows) == 1 and not rows[0].decode_ok
+    assert len(rows) == 3 and not any(r.decode_ok for r in rows)
