@@ -82,6 +82,85 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q31_rollup_summary(spark, sf_dir):
+    """ROLLUP aggregation: subtotals per (returnflag, linestatus), per
+    returnflag, and grand total in ONE pass — Spark expands the grouping
+    sets before the partial aggregate, so the map-side combine covers all
+    three levels with a single shuffle (vs three separate groupBys = three
+    scans + three shuffles).  Group columns are non-null in the data, so
+    NULL unambiguously marks subtotal rows in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q31_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q32_asof_join(spark, sf_dir):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (the time-series join Spark lacks natively).
+
+    Composition of existing operators (custom-operator strategy (a)): an
+    equi-join on the key with the temporal predicate as join condition,
+    then a per-event top-1 window.  The equi key keeps it a hash/sort
+    join — never a nested loop — and the fan-out is bounded by
+    orders-per-customer; at scale both sides shuffle once on the key and
+    the window's group-limit prunes map-side.  Ties (same order date)
+    break on the smaller order key in both engines; events with no prior
+    order keep a NULL match (left join + NULLS LAST ordering)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    j = e.join(
+        o,
+        (e["user_id"] == o["o_custkey"]) & (o["o_orderdate"] <= e["ts"]),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_totalprice").alias("asof_totalprice"),
+        )
+    )
+
+
+Q32_SQL = """
+SELECT event_id, user_id, asof_orderkey, asof_totalprice
+FROM (
+  SELECT e.event_id, e.user_id,
+         o.o_orderkey AS asof_orderkey,
+         o.o_totalprice AS asof_totalprice,
+         row_number() OVER (
+             PARTITION BY e.event_id
+             ORDER BY o.o_orderdate DESC NULLS LAST,
+                      o.o_orderkey ASC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rn = 1
+"""
+
+
 def q02_filter_projection(spark, sf_dir):
     """P1/P5: selective filter + narrow projection (pushdown-verified)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1125,6 +1204,8 @@ QUERIES: dict[str, Callable] = {
     "q28_tumbling_window": q28_tumbling_window,
     "q29_ann_ivf": q29_ann_ivf,
     "q30_ngram_jaccard": q30_ngram_jaccard,
+    "q31_rollup_summary": q31_rollup_summary,
+    "q32_asof_join": q32_asof_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1158,4 +1239,6 @@ ORACLE_SQL: dict[str, str] = {
     "q28_tumbling_window": Q28_SQL,
     "q29_ann_ivf": Q29_SQL,
     "q30_ngram_jaccard": Q30_SQL,
+    "q31_rollup_summary": Q31_SQL,
+    "q32_asof_join": Q32_SQL,
 }

@@ -95,6 +95,25 @@ def test_ivf_quantizer_is_broadcast(spark, sf):
     assert len(distinct) <= 4, plan
 
 
+def test_rollup_is_one_expand_one_shuffle(spark, sf):
+    """q31's ROLLUP must expand grouping sets before the partial agg —
+    one scan, one Exchange — not three separate aggregations."""
+    plan = _plan(spark, sf, Q.q31_rollup_summary)
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_asof_join_is_not_nested_loop(spark, sf):
+    """q32's as-of join must use the equi key (hash/sort join with the
+    temporal predicate as a post-condition), never a nested loop over
+    events × orders."""
+    plan = _plan(spark, sf, Q.q32_asof_join)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_ngram_index_caps_stop_grams(spark, sf):
     """q30's inverted-index join must be a hash equi-join on the shingle
     hash (never a nested-loop/cartesian) with the df<=50 cap applied
