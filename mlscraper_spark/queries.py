@@ -161,6 +161,67 @@ WHERE rn = 1
 """
 
 
+def q33_pivot_event_types(spark, sf_dir):
+    """Pivot: per-user event counts spread across event-type columns.
+    Spark's ``pivot`` with an explicit value list plans as ONE conditional
+    aggregation (no per-type scans, no join of per-type aggregates) —
+    the same plan the CASE-sum oracle describes.  The value list is
+    pinned so the output schema is static (a scan-to-discover-values
+    pivot would add a driver round-trip and a nondeterministic column
+    order)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "purchase", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+Q33_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
+def q34_moving_sum(spark, sf_dir):
+    """Sliding window frame: per-user moving sum of the last 4 events
+    (ROWS 3 PRECEDING), decimal arithmetic so the result is exact and
+    summation-order-independent.  The frame's ORDER BY includes event_id
+    so duplicate timestamps can't make frame contents nondeterministic
+    between engines.  One shuffle on user_id; the frame is evaluated
+    streaming within each sorted partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("moving_value"),
+    )
+
+
+Q34_SQL = """
+SELECT event_id, user_id,
+       sum(value::DECIMAL(18,4)) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::DOUBLE AS moving_value
+FROM events
+"""
+
+
 def q02_filter_projection(spark, sf_dir):
     """P1/P5: selective filter + narrow projection (pushdown-verified)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1206,6 +1267,8 @@ QUERIES: dict[str, Callable] = {
     "q30_ngram_jaccard": q30_ngram_jaccard,
     "q31_rollup_summary": q31_rollup_summary,
     "q32_asof_join": q32_asof_join,
+    "q33_pivot_event_types": q33_pivot_event_types,
+    "q34_moving_sum": q34_moving_sum,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1241,4 +1304,6 @@ ORACLE_SQL: dict[str, str] = {
     "q30_ngram_jaccard": Q30_SQL,
     "q31_rollup_summary": Q31_SQL,
     "q32_asof_join": Q32_SQL,
+    "q33_pivot_event_types": Q33_SQL,
+    "q34_moving_sum": Q34_SQL,
 }

@@ -114,6 +114,24 @@ def test_asof_join_is_not_nested_loop(spark, sf):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_pivot_is_one_conditional_agg(spark, sf):
+    """q33's pivot must stay one aggregation pipeline — Spark plans it as
+    a two-level aggregate ((user_id, type) then pivot on user_id), both
+    levels map-side combined, never a join of per-type aggregates."""
+    plan = _plan(spark, sf, Q.q33_pivot_event_types)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_moving_sum_single_shuffle_window(spark, sf):
+    """q34's sliding frame must evaluate inside one Window over one
+    shuffle on user_id."""
+    plan = _plan(spark, sf, Q.q34_moving_sum)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
 def test_ngram_index_caps_stop_grams(spark, sf):
     """q30's inverted-index join must be a hash equi-join on the shingle
     hash (never a nested-loop/cartesian) with the df<=50 cap applied
