@@ -132,6 +132,35 @@ def run_crawl_monitor_to_memory(spark: SparkSession, crawl_root: str,
     q.awaitTermination()
 
 
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the crawl's URL-seen
+    set: ``dropDuplicatesWithinWatermark`` keys state by event_id and the
+    watermark bounds how long each key is remembered, so state is sized
+    by the dedup horizon, not the stream's full history (the batch crawl
+    bounds the same memory with periodic url_seen compaction).  Batch
+    inputs take the plain distinct path, so stream == batch is testable
+    on replay-free input."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark) \
+            .dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def run_dedup_to_memory(spark: SparkSession, events_dir: str,
+                        table_name: str) -> None:
+    """Drain available input through the streaming dedup into a memory
+    sink (append mode — dedup emits rows, not updating aggregates)."""
+    q = (
+        dedup_events(stream_events(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(spark: SparkSession, events_dir: str,
                          table_name: str, window: str = "6 hours") -> None:
     """Drain all currently-available input through the streaming aggregation

@@ -111,3 +111,27 @@ def test_crawl_monitor_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert set(got) == {0, 1, 2}
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream with duplicated input
+    files == batch distinct over the deduped set: every event_id exactly
+    once, state keyed by id and bounded by the watermark."""
+    import pandas as pd
+
+    from mlscraper_spark.streaming.pipeline import dedup_events, run_dedup_to_memory
+
+    events_dir = str(tmp_path / "events_dedup")
+    os.makedirs(events_dir)
+    # same file twice -> every event arrives twice, in separate micro-batches
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-1.parquet")
+
+    run_dedup_to_memory(spark, events_dir, "dedup_stream")
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    got_ids = sorted(r.event_id for r in got)
+    assert len(got_ids) == len(set(got_ids)), "stream emitted a duplicate"
+
+    batch = dedup_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    want_ids = sorted(r.event_id for r in batch.select("event_id").collect())
+    assert got_ids == want_ids
