@@ -533,42 +533,36 @@ def _fetch_udf(web: WebConfig):
     return _fetch, out_schema
 
 
-def _split_by_filter(cand: DataFrame, filters: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Cuckoo fast path: adds ``maybe_seen`` (False ⇒ definitely new).
-    Applied to the DISCOVERY DELTA only — frontier rows are unseen by
-    construction (they're removed when fetched, and seen URLs never
-    enter)."""
-    out_schema = ", ".join(f"{c} {t}" for c, t in cand.dtypes) + ", maybe_seen boolean"
+def _update_and_split(filters: DataFrame, seen_delta: DataFrame,
+                      cand: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """ONE cogroup pass per host_bucket: insert this epoch's fetched
+    url_hashes into the bucket's cuckoo blob, then flag the bucket's
+    candidate discoveries against the UPDATED filter (P10/E5, fused).
 
-    def _check(key, cand_pdf, blob_rows):
-        import numpy as np
+    Two chained cogroups (update-blobs → check-candidates) re-shuffled
+    the MB-sized blobs between the stages every epoch; fusing removes a
+    full shuffle + python stage.  Output rows are tagged:
+    ``kind='f'`` rows carry (blob, fingerprint) — the next filters
+    snapshot; ``kind='c'`` rows carry the candidate columns +
+    ``maybe_seen`` (False ⇒ definitely new).  Semantics are identical to
+    the two-stage form: per bucket the blob updates first (SORTED insert
+    order, so blob bytes and the manifest's md5 lineage fingerprints stay
+    a pure function of the hash SET under any shuffle arrival order),
+    then candidates are checked against the updated filter.  A bucket
+    seen only in candidates emits an empty filter blob — equivalent to
+    the previous absent-row convention (readers treat both as empty)."""
+    cand_cols = [c for c, _ in cand.dtypes]
+    tagged = cand.withColumn("is_seen", F.lit(False)).unionByName(
+        seen_delta.select("host_bucket", "url_hash",
+                          F.lit(True).alias("is_seen")),
+        allowMissingColumns=True,
+    )
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in cand.dtypes)
+        + ", maybe_seen boolean, blob binary, fingerprint string, kind string"
+    )
 
-        from mlscraper_spark.crawl.cuckoo import CuckooFilter
-
-        if len(blob_rows) and blob_rows["blob"].iloc[0] is not None:
-            flt = CuckooFilter.from_bytes(
-                bytes(blob_rows["blob"].iloc[0]), cfg.filter_buckets
-            )
-            maybe = flt.contains_many(cand_pdf["url_hash"].to_numpy(np.int64))
-        else:
-            maybe = np.zeros(len(cand_pdf), dtype=bool)
-        cand_pdf = cand_pdf.copy()
-        cand_pdf["maybe_seen"] = maybe
-        return cand_pdf
-
-    return cand.groupBy("host_bucket").cogroup(
-        filters.select("host_bucket", "blob").groupBy("host_bucket")
-    ).applyInPandas(_check, out_schema)
-
-
-def _update_filters(filters: DataFrame, new_hashes: DataFrame,
-                    cfg: CrawlConfig) -> DataFrame:
-    """Insert this epoch's fetched url_hashes into each bucket's filter.
-    The blob's md5 fingerprint (per-partition lineage, north_rule) is
-    computed here in the worker — the manifest step collects the tiny
-    (bucket, fingerprint) pairs instead of re-reading blobs."""
-
-    def _upd(key, blob_pdf, hash_pdf):
+    def _fuse(key, blob_pdf, mixed_pdf):
         import hashlib
 
         import numpy as np
@@ -581,26 +575,35 @@ def _update_filters(filters: DataFrame, new_hashes: DataFrame,
             )
         else:
             flt = CuckooFilter(cfg.filter_buckets)
-        if len(hash_pdf):
-            # sorted insert order → blob bytes (and the manifest's md5
-            # fingerprints) are a pure function of the hash SET, not of
-            # shuffle arrival order — lineage fingerprints stay comparable
-            # across reruns and resume
-            flt.insert_many(
-                np.sort(hash_pdf["url_hash"].to_numpy(np.int64))
-            )
+        seen = mixed_pdf[mixed_pdf["is_seen"]]
+        cpdf = mixed_pdf[~mixed_pdf["is_seen"]]
+        if len(seen):
+            flt.insert_many(np.sort(seen["url_hash"].to_numpy(np.int64)))
         blob = flt.to_bytes()
-        return pd.DataFrame(
+        out = cpdf[cand_cols].copy()
+        out["maybe_seen"] = (
+            flt.contains_many(cpdf["url_hash"].to_numpy(np.int64))
+            if len(cpdf)
+            else np.zeros(0, dtype=bool)
+        )
+        out["blob"] = None
+        out["fingerprint"] = None
+        out["kind"] = "c"
+        frow = pd.DataFrame(
             {
-                "host_bucket": [int(key[0])],
+                **{c: [None] for c in cand_cols},
+                "maybe_seen": [None],
                 "blob": [blob],
                 "fingerprint": [hashlib.md5(blob).hexdigest()],
+                "kind": ["f"],
             }
         )
+        frow["host_bucket"] = int(key[0])
+        return pd.concat([frow, out], ignore_index=True)
 
     return filters.select("host_bucket", "blob").groupBy("host_bucket").cogroup(
-        new_hashes.select("host_bucket", "url_hash").groupBy("host_bucket")
-    ).applyInPandas(_upd, FILTERS_SCHEMA)
+        tagged.groupBy("host_bucket")
+    ).applyInPandas(_fuse, out_schema)
 
 
 def _base_epoch(root: str, epoch: int, key: str) -> int | None:
@@ -781,16 +784,18 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         "url_canon", "url_hash", "host_bucket", F.lit(epoch).alias("seen_epoch")
     )
     url_seen_all = url_seen.unionByName(seen_delta)
-    # cache: consumed by the cuckoo split and the snapshot write — without
-    # it the blob rebuild cogroup runs twice per epoch
-    filters_new = _update_filters(filters, seen_delta, cfg).cache()
-    _caches.append(filters_new)
-
-    # ---- seen-check the DELTA only (P10): cuckoo split + exact backstop -
-    # cache: both branches below consume the same cuckoo-cogroup output —
-    # without it the whole discovery pipeline runs twice per epoch
-    flagged = _split_by_filter(adds, filters_new, cfg).cache()
-    _caches.append(flagged)
+    # ---- fused cuckoo update + seen-check of the DELTA only (P10/E5) ----
+    # cache: the single cogroup output feeds the filters snapshot, the
+    # fingerprint collect, AND both flag branches — without it the whole
+    # discovery pipeline + blob rebuild would run once per consumer
+    fused = _update_and_split(filters, seen_delta, adds, cfg).cache()
+    _caches.append(fused)
+    filters_new = fused.filter(F.col("kind") == "f").select(
+        "host_bucket", "blob", "fingerprint"
+    )
+    flagged = fused.filter(F.col("kind") == "c").drop(
+        "blob", "fingerprint", "kind"
+    )
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     survived = maybe.join(
