@@ -101,6 +101,50 @@ def fetch_and_extract_images(urls_df: DataFrame, web, url_col: str = "url_canon"
     return urls_df.select(url_col).mapInPandas(_run, IMAGES_SCHEMA)
 
 
+def resize_images(images_df: DataFrame, factor: int = 2) -> DataFrame:
+    """Box-downsample every image by an integer ``factor`` and re-encode
+    lossless ppm: the thumbnail stage of a training-data pipeline, emitting
+    the same input_hint row shape with the new dims and the thumbnail's
+    phash.  Arrow-batched decode → integer box-mean (sum // factor², exact
+    and float-free, so bit-deterministic under retries) → encode; pure
+    mapInPandas, no shuffle.  Caption is carried through unchanged.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mlscraper_spark.images.codec import decode, encode_ppm, phash
+
+        for pdf in batches:
+            rows = []
+            for image_id, blob, fmt, caption in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"]
+            ):
+                try:
+                    img = decode(bytes(blob), fmt)
+                except NotImplementedError:
+                    rows.append((image_id, None, 0, 0, "ppm", caption, None))
+                    continue
+                h, w = img.shape[0], img.shape[1]
+                th, tw = max(1, h // factor), max(1, w // factor)
+                trimmed = img[: th * factor, : tw * factor].astype(np.int64)
+                thumb = (
+                    trimmed.reshape(th, factor, tw, factor, 3).sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype(np.uint8)
+                tblob = encode_ppm(thumb)
+                rows.append(
+                    (image_id, tblob, tw, th, "ppm", caption, phash(thumb))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+    return images_df.select(
+        "image_id", "bytes", "fmt", "caption"
+    ).mapInPandas(_run, IMAGES_SCHEMA)
+
+
 def image_features(images_df: DataFrame) -> DataFrame:
     """Decode + feature-extract (multimodal column pattern): binary blobs →
     typed features, Arrow-batched.  The shape real pipelines use for

@@ -744,11 +744,10 @@ WHERE n_inter / (ca.n + cb.n - n_inter) >= 0.5
 """
 
 
-def q20_simhash(spark, sf_dir):
-    """SimHash fingerprint (16-bit) over whitespace tokens.
-
-    Bit j = majority of the high bit of hex digit j of md5(token) — pure
-    column expressions, no UDF, identical semantics in the oracle.
+def _simhash_df(spark, sf_dir, n_bits: int, out_col: str):
+    """n-bit SimHash over whitespace tokens: bit j = majority of the high
+    bit of hex digit j of md5(token) — pure column expressions, no UDF,
+    identical semantics in the oracle (md5 has 32 hex digits → n_bits ≤ 32).
     """
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -756,19 +755,19 @@ def q20_simhash(spark, sf_dir):
     ).withColumn("h", F.md5(F.encode("tok", "utf-8")))
     high = set("89abcdef")
     aggs = []
-    for j in range(16):
+    for j in range(n_bits):
         bit = F.when(F.substring("h", j + 1, 1).isin(*high), 1).otherwise(-1)
         aggs.append(
             (F.when(F.sum(bit) > 0, F.lit(1)).otherwise(F.lit(0)) * (1 << j)).alias(f"b{j}")
         )
     per_doc = toks.groupBy("doc_id").agg(*aggs)
-    total = sum((F.col(f"b{j}") for j in range(16)), F.lit(0))
-    return per_doc.select("doc_id", total.cast("long").alias("simhash"))
+    total = sum((F.col(f"b{j}") for j in range(n_bits)), F.lit(0))
+    return per_doc.select("doc_id", total.cast("long").alias(out_col))
 
 
-def _q20_sql() -> str:
+def _simhash_sql(n_bits: int, out_col: str) -> str:
     terms = []
-    for j in range(16):
+    for j in range(n_bits):
         terms.append(
             f"(CASE WHEN sum(CASE WHEN substr(h, {j + 1}, 1) IN "
             f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
@@ -776,11 +775,57 @@ def _q20_sql() -> str:
         )
     total = " + ".join(terms)
     return f"""
-SELECT doc_id, ({total})::bigint AS simhash
+SELECT doc_id, ({total})::bigint AS {out_col}
 FROM (
   SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
   FROM documents)
 GROUP BY doc_id
+"""
+
+
+def q20_simhash(spark, sf_dir):
+    """SimHash fingerprint (16-bit) over whitespace tokens (_simhash_df)."""
+    return _simhash_df(spark, sf_dir, 16, "simhash")
+
+
+def _q20_sql() -> str:
+    return _simhash_sql(16, "simhash")
+
+
+def q35_fingerprint_neardup(spark, sf_dir):
+    """Fingerprint near-dup via exact-cover banded LSH
+    (operators/neardup.py): band the fingerprint into 4 sub-words, equi-join
+    on (band, val) — pigeonhole gives 100% recall for Hamming ≤ 3 — then
+    exact popcount verify, all JVM expressions.  This is the pHash-dedup
+    shape the input_hint's phash column exists for; parity runs it over a
+    32-bit SimHash that DuckDB recomputes bit-for-bit (real 64-bit image
+    pHashes exercise the same operator in tests/test_images.py against a
+    brute-force oracle).
+    """
+    from mlscraper_spark.operators.neardup import fingerprint_neardup
+
+    fp = _simhash_df(spark, sf_dir, 32, "fp")
+    return fingerprint_neardup(
+        fp, "doc_id", "fp", n_bits=32, n_bands=4, max_hamming=3
+    )
+
+
+def _q35_sql() -> str:
+    return f"""
+WITH fp AS ({_simhash_sql(32, "fp")}),
+bands AS (
+  SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS val
+  FROM fp, (VALUES (0), (1), (2), (3)) AS bb(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::int AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 
 
@@ -1230,6 +1275,43 @@ FROM dims
 """
 
 
+def q36_image_thumbnails(spark, sf_dir):
+    """Thumbnail stage (images/ops.py resize_images): decode → integer
+    box-mean ÷2 → lossless ppm re-encode, chained mapInPandas with no
+    shuffle.  Output dims halve exactly (synthetic dims are multiples of
+    16) and the ppm byte count is closed-form, so DuckDB predicts every
+    column; pixel-level box-mean exactness is pinned in
+    tests/test_images.py.
+    """
+    from mlscraper_spark.images.ops import extract_images_table, resize_images
+
+    def parity_fmt(image_id: str, w: int, h: int) -> str:
+        return "ppm" if int(image_id.rsplit("/", 1)[-1]) % 2 == 0 else "dctq"
+
+    images = extract_images_table(
+        _doc_image_pages(spark, sf_dir), fmt_policy=parity_fmt
+    )
+    thumbs = resize_images(images, factor=2)
+    return thumbs.select(
+        "image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes")
+    )
+
+
+Q36_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         (16 + (n_chars % 8) * 16) // 2 AS tw,
+         (16 + (n_chars % 5) * 16) // 2 AS th
+  FROM documents)
+SELECT 'img/' || doc_id::varchar AS image_id,
+       tw::int AS w, th::int AS h, 'ppm' AS fmt,
+       -- P6 header "P6 {w} {h} 255\\n" + 3 bytes/pixel
+       (9 + length(tw::varchar) + length(th::varchar) + 3 * tw * th)::int
+         AS n_bytes
+FROM dims
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1269,6 +1351,8 @@ QUERIES: dict[str, Callable] = {
     "q32_asof_join": q32_asof_join,
     "q33_pivot_event_types": q33_pivot_event_types,
     "q34_moving_sum": q34_moving_sum,
+    "q35_fingerprint_neardup": q35_fingerprint_neardup,
+    "q36_image_thumbnails": q36_image_thumbnails,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1306,4 +1390,6 @@ ORACLE_SQL: dict[str, str] = {
     "q32_asof_join": Q32_SQL,
     "q33_pivot_event_types": Q33_SQL,
     "q34_moving_sum": Q34_SQL,
+    "q35_fingerprint_neardup": _q35_sql(),
+    "q36_image_thumbnails": Q36_SQL,
 }

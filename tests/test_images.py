@@ -121,3 +121,81 @@ def test_malformed_dimension_attrs_do_not_fail_extraction():
     rows = extract_images(html)
     assert [(r["w"], r["h"]) for r in rows] == [(0, 0), (0, 0), (32, 16)]
     assert [r["caption"] for r in rows] == ["pct", "auto", "ok"]
+
+
+def test_resize_box_mean_exact(spark):
+    """resize_images must equal the independent integer box-mean
+    (sum // factor²) on decoded pixels — float-free, so bit-deterministic —
+    and carry caption/fmt/phash per the input_hint row shape."""
+    from mlscraper_spark.images.ops import resize_images
+
+    specs = [("img/a", 32, 16), ("img/b", 48, 32), ("img/c", 16, 16)]
+    rows = []
+    for iid, w, h in specs:
+        img = make_image(iid, w, h)
+        rows.append((iid, encode_ppm(img), w, h, "ppm", f"cap {iid}", phash(img)))
+    # one dctq image: thumbnail is computed from *decoded* (lossy) pixels
+    img_d = make_image("img/d", 24, 24)
+    rows.append(("img/d", encode_dctq(img_d), 24, 24, "dctq", "cap img/d",
+                 phash(decode_dctq(encode_dctq(img_d)))))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    got = {r.image_id: r for r in resize_images(df, factor=2).collect()}
+    assert set(got) == {"img/a", "img/b", "img/c", "img/d"}
+    for iid, blob, w, h, fmt, caption, _ in rows:
+        src = decode(bytes(blob), fmt).astype(np.int64)
+        th, tw = h // 2, w // 2
+        want = (
+            src[: th * 2, : tw * 2].reshape(th, 2, tw, 2, 3).sum(axis=(1, 3)) // 4
+        ).astype(np.uint8)
+        r = got[iid]
+        assert (r.w, r.h, r.fmt, r.caption) == (tw, th, "ppm", caption)
+        thumb = decode_ppm(bytes(r.bytes))
+        assert np.array_equal(thumb, want)
+        assert r.phash == phash(want)
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """The banded-LSH operator over real 64-bit image pHashes must return
+    exactly the brute-force all-pairs answer at Hamming ≤ 3 (pigeonhole:
+    4 bands ⊇ any ≤3-bit difference) — planted near-dups via deterministic
+    bit flips, exact dups via repeated images."""
+    from mlscraper_spark.operators.neardup import fingerprint_neardup
+
+    fps = {}
+    for i in range(30):
+        fps[f"base-{i}"] = phash(make_image(f"img-{i}", 32, 32))
+    for i in range(10):  # near-dups: flip (i % 3) + 1 low-entropy bits
+        fp = fps[f"base-{i}"]
+        for b in range(i % 3 + 1):
+            fp ^= 1 << ((7 * i + 13 * b) % 64)
+        fps[f"flip-{i}"] = fp
+    fps["dup-0"] = fps["base-0"]  # exact dup → hamming 0
+    brute = {
+        (a, b, hamming64(fps[a], fps[b]))
+        for a in fps for b in fps
+        if a < b and hamming64(fps[a], fps[b]) <= 3
+    }
+    assert brute, "planted near-dups must exist"
+    df = spark.createDataFrame(
+        [(k, v - (1 << 64) if v >= 1 << 63 else v) for k, v in fps.items()],
+        "id string, fp long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in fingerprint_neardup(
+            df, "id", "fp", n_bits=64, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == brute
+
+
+def test_neardup_recall_guard():
+    """max_hamming ≥ n_bands would silently lose recall — must raise."""
+    from mlscraper_spark.operators.neardup import fingerprint_neardup
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        fingerprint_neardup(None, "id", "fp", n_bits=64, n_bands=4,
+                            max_hamming=4)
+    with pytest.raises(ValueError, match="divisible"):
+        fingerprint_neardup(None, "id", "fp", n_bits=60, n_bands=8)

@@ -142,3 +142,19 @@ def test_ngram_index_caps_stop_grams(spark, sf):
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_fingerprint_neardup_is_banded_equi_join(spark, sf):
+    """q35's LSH banding must plan as a hash equi-join on (band, val) —
+    never all-pairs — with the popcount verify as a plain filter."""
+    plan = _plan(spark, sf, Q.q35_fingerprint_neardup)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_thumbnail_pipeline_has_no_shuffle(spark, sf):
+    """q36 (extract → resize) is two chained Arrow stages over the scan:
+    embarrassingly parallel, zero Exchange."""
+    plan = _plan(spark, sf, Q.q36_image_thumbnails)
+    assert "Exchange" not in plan, plan
