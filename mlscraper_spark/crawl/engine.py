@@ -98,6 +98,16 @@ class CrawlConfig:
     # snapshots before a full compaction rewrite (bounds manifest-chain
     # length and lets old snapshots expire — Iceberg snapshot-expiry
     # analog)
+    max_depth: int | None = None  # crawler-trap guard: drop discoveries
+    # deeper than this many link hops from a seed.  Infinite URL spaces
+    # (calendar pages, session-id permutations) otherwise grow the
+    # frontier without bound; depth is the standard budget that caps any
+    # trap's yield at branching^max_depth.  None = unbounded (the
+    # reference-oracle default).
+    max_url_len: int | None = None  # trap guard: drop URLs longer than
+    # this many canonicalized characters — repeated-path-segment traps
+    # (/a/a/a/...) grow the URL every hop, so a length cap cuts the cycle
+    # even when depth alone would admit it.  None = unbounded.
     seen_compact_every: int = 16  # every K epochs the url_seen deltas are
     # compacted into a full url_seen_base table in that snapshot, so the
     # per-epoch read unions ≤ K deltas + 1 base instead of the crawl's
@@ -198,6 +208,18 @@ def _priority_col():
     return F.lit(1.0) / (1.0 + F.col("depth"))
 
 
+def _trap_filter(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Crawler-trap guard over (depth, url_canon) rows — applied to seeds
+    and to every discovery delta BEFORE robots resolution (a trapped URL
+    must not trigger a robots fetch for its host; the oracle checks in
+    the same order).  Pure JVM predicates, pushed into the scan."""
+    if cfg.max_depth is not None:
+        df = df.filter(F.col("depth") <= cfg.max_depth)
+    if cfg.max_url_len is not None:
+        df = df.filter(F.length("url_canon") <= cfg.max_url_len)
+    return df
+
+
 # the columns that identify a frontier row (everything but the derived
 # priority); url_hash/host/host_bucket are functions of url_canon, so any
 # F.first over same-url duplicates is deterministic
@@ -278,6 +300,8 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
         .withColumn("discovered_epoch", F.lit(0))
         .withColumn("priority", _priority_col())
     )
+    frontier = _trap_filter(frontier, cfg)  # before robots: a trapped
+    # seed must not trigger a robots fetch for its host (oracle order)
     # cache: robots is broadcast into the frontier filter AND written below
     robots = _robots_rules_df(spark, frontier.select("host").distinct(), 0, web).cache()
     frontier = _filter_robots(frontier, robots).select(
@@ -511,7 +535,11 @@ def _fetch_udf(web: WebConfig):
     )
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mlscraper_spark.crawl.synthweb import extract_images, extract_links, fetch
+        from mlscraper_spark.crawl.synthweb import (
+            extract_images,
+            fetch,
+            response_links,
+        )
 
         for pdf in batches:
             rows = []
@@ -520,7 +548,7 @@ def _fetch_udf(web: WebConfig):
                 pdf["depth"],
             ):
                 status, html = fetch(url, web)
-                links = extract_links(html) if status == 200 else []
+                links = response_links(url, status, html, web)
                 n_images = len(extract_images(html)) if status == 200 else 0
                 rows.append(
                     (url, host, int(hb), int(seq), int(depth), status,
@@ -589,17 +617,21 @@ def _update_and_split(filters: DataFrame, seen_delta: DataFrame,
         out["blob"] = None
         out["fingerprint"] = None
         out["kind"] = "c"
+        # object dtype for the all-NA carrier columns: concat of an all-NA
+        # column with a typed one is a pandas FutureWarning (and will
+        # change dtype inference); Arrow casts back per out_schema anyway
         frow = pd.DataFrame(
             {
-                **{c: [None] for c in cand_cols},
-                "maybe_seen": [None],
+                **{c: pd.Series([None], dtype=object) for c in cand_cols},
+                "maybe_seen": pd.Series([None], dtype=object),
                 "blob": [blob],
                 "fingerprint": [hashlib.md5(blob).hexdigest()],
                 "kind": ["f"],
             }
         )
         frow["host_bucket"] = int(key[0])
-        return pd.concat([frow, out], ignore_index=True)
+        return pd.concat([frow, out.astype({"maybe_seen": object})],
+                         ignore_index=True)
 
     return filters.select("host_bucket", "blob").groupBy("host_bucket").cogroup(
         tagged.groupBy("host_bucket")
@@ -761,7 +793,10 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         (F.col("depth") + 1).alias("depth"), _canonicalize_udf("raw").alias("c")
     ).select("depth", "c.url_canon", "c.host").filter(
         F.col("url_canon").isNotNull()  # unparseable hrefs are not links
-    ).cache()  # consumed by robots_new (host anti-join) AND the main delta
+    )
+    disc = _trap_filter(disc, cfg).cache()  # trap guard BEFORE robots:
+    # a trapped URL must not trigger a robots fetch for its host
+    # consumed by robots_new (host anti-join) AND the main delta
     # pipeline — without the cache the canonicalize UDF runs twice
     _caches.append(disc)
     robots_new = _robots_rules_df(

@@ -33,7 +33,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from mlscraper_spark.crawl.synthweb import WebConfig, extract_images, extract_links, fetch
+from mlscraper_spark.crawl.synthweb import (
+    WebConfig,
+    extract_images,
+    fetch,
+    response_links,
+)
 from mlscraper_spark.crawl.urlnorm import host_of, try_canonicalize, url_hash
 
 
@@ -63,7 +68,14 @@ def _robots_blocked(url_canon: str, host: str, epoch: int, state: OracleState,
 
 
 def _insert(state: OracleState, url_canon: str, depth: int, epoch: int,
-            cfg: WebConfig) -> None:
+            cfg: WebConfig, max_depth: int | None = None,
+            max_url_len: int | None = None) -> None:
+    # crawler-trap guard FIRST: a trapped URL must not mark a host seen
+    # nor trigger a robots fetch (the engine filters in the same order)
+    if max_depth is not None and depth > max_depth:
+        return
+    if max_url_len is not None and len(url_canon) > max_url_len:
+        return
     if url_canon in state.url_seen:
         return
     host = host_of(url_canon)
@@ -77,7 +89,9 @@ def _insert(state: OracleState, url_canon: str, depth: int, epoch: int,
 
 
 def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
-                 max_epochs: int, tokens_capacity: int | None = None) -> OracleState:
+                 max_epochs: int, tokens_capacity: int | None = None,
+                 max_depth: int | None = None,
+                 max_url_len: int | None = None) -> OracleState:
     cap = tokens_capacity if tokens_capacity is not None else budget_per_host
     refill = budget_per_host
     assert cap >= refill >= 1, "capacity must be >= refill >= 1"
@@ -85,7 +99,7 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
     for s in seeds:
         cs = try_canonicalize(s)
         if cs is not None:  # unparseable seeds are dropped, like links
-            _insert(state, cs, 0, 0, cfg)
+            _insert(state, cs, 0, 0, cfg, max_depth, max_url_len)
 
     for epoch in range(max_epochs):
         if not state.frontier:
@@ -119,7 +133,7 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
 
         for seq, (negp, uhash, url, depth) in enumerate(selected):
             status, html = fetch(url, cfg)
-            links = extract_links(html) if status == 200 else []
+            links = response_links(url, status, html, cfg)
             n_images = len(extract_images(html)) if status == 200 else 0
             state.fetch_log.append(
                 {
@@ -137,5 +151,6 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
             for raw in links:
                 cu = try_canonicalize(raw)
                 if cu is not None:  # unparseable hrefs are not links
-                    _insert(state, cu, depth + 1, epoch + 1, cfg)
+                    _insert(state, cu, depth + 1, epoch + 1, cfg,
+                            max_depth, max_url_len)
     return state

@@ -38,6 +38,11 @@ class WebConfig:
     max_pages_per_host: int = 40
     links_per_page: int = 3
     images_per_page: int = 2
+    alias_every: int = 0  # >0 enables redirect aliases: roughly 1-in-5
+    # links point at /old/{j}, which 301-redirects to /page/{j} (the
+    # moved-permanently shape real crawls hit constantly).  0 = off, and
+    # every link/page is byte-identical to the pre-redirect web, so
+    # existing oracle-equivalence fixtures are untouched.
 
     def host_name(self, i: int) -> str:
         return f"host{i}.test"
@@ -88,7 +93,9 @@ def links_for(i: int, j: int, cfg: WebConfig) -> list[str]:
     for k in range(cfg.links_per_page):
         h = _h("link", i, j, k)
         kind = h % 4
-        if kind == 0:  # same-host, canonical
+        if cfg.alias_every and h % 5 == 4:  # stale bookmark → 301 alias
+            links.append(f"http://{cfg.host_name(i)}/old/{(h >> 8) % n_pages}")
+        elif kind == 0:  # same-host, canonical
             links.append(f"http://{cfg.host_name(i)}/page/{(j + 1 + h % n_pages) % n_pages}")
         elif kind == 1:  # same-host, non-canonical (uppercase + fragment)
             links.append(
@@ -133,8 +140,53 @@ def parse_page_url(url_canon: str, cfg: WebConfig):
     return None
 
 
+def redirect_of(url_canon: str, cfg: WebConfig) -> str | None:
+    """Canonical target when the URL is a 301 alias (/old/{j} →
+    /page/{j}), else None.  Pure function of the URL, like fetch."""
+    if not cfg.alias_every:
+        return None
+    parts = urlsplit(url_canon)
+    host = parts.hostname or ""
+    if not (host.startswith("host") and host.endswith(".test")):
+        return None
+    try:
+        i = int(host[4:-5])
+    except ValueError:
+        return None
+    if not (0 <= i < cfg.n_hosts):
+        return None
+    segs = [s for s in parts.path.split("/") if s]
+    if len(segs) == 2 and segs[0] == "old":
+        try:
+            j = int(segs[1])
+        except ValueError:
+            return None
+        if 0 <= j < cfg.n_pages(i):
+            return f"http://{cfg.host_name(i)}/page/{j}"
+    return None
+
+
+def response_links(url_canon: str, status: int, html: bytes,
+                   cfg: WebConfig) -> list[str]:
+    """Outgoing raw hrefs of a fetch response — 200 pages link via their
+    anchors, 301 responses 'link' to their Location target (followed
+    through the ordinary discovery pipeline: canonicalize → trap guard →
+    robots → seen-check, at depth+1).  ONE code path shared by the
+    sequential oracle and the engine's Arrow fetch stage, so redirect
+    semantics cannot diverge between them."""
+    if status == 200:
+        return extract_links(html)
+    if status == 301:
+        target = redirect_of(url_canon, cfg)
+        return [target] if target is not None else []
+    return []
+
+
 def fetch(url_canon: str, cfg: WebConfig) -> tuple[int, bytes]:
     """(status, html) — pure function of the canonical URL."""
+    target = redirect_of(url_canon, cfg)
+    if target is not None:
+        return 301, b""
     loc = parse_page_url(url_canon, cfg)
     if loc is None:
         return 404, b"<html><body><h1>404</h1></body></html>"

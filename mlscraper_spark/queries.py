@@ -571,6 +571,118 @@ FROM documents
 """
 
 
+def q37_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus prep: the composite pipeline an LLM-data
+    job runs over raw documents — normalize → quality-gate → language-ID →
+    exact-dedup → per-language corpus stats — in ONE declarative plan.
+
+    Scale shape: every step is a JVM column expression (no UDF anywhere);
+    the only shuffles are the two aggregations (fingerprint groupBy for
+    dedup, then a 3-row language rollup), both with map-side partial
+    aggregation.  The quality gate compares integers (chars-vs-token
+    bounds) rather than a double threshold, so the kept-set is bit-stable
+    across engines — the same boundary-safety policy as the module header.
+    Dedup keys on a LEADING-CONTENT fingerprint (md5 of the first 128
+    normalized chars): web corpora are full of docs identical up front
+    that diverge only in boilerplate tails, and this corpus carries
+    exactly that shape, so a full-text hash would remove nothing.  The
+    kept row per group is the lowest doc_id, and its stats ride through
+    as ``min_by(…, doc_id)`` — the kept doc's own counts, not a mix of
+    the group's.  Output: per detected language, kept docs, removed
+    duplicate docs, and total tokens/chars of the kept corpus.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    d = docs.select("doc_id", norm.alias("norm")).select(
+        "doc_id",
+        "norm",
+        F.size(F.split("norm", " ")).cast("long").alias("n_tokens"),
+        F.length(F.replace("norm", F.lit(" "), F.lit(""))).cast("long").alias("n_chars"),
+    )
+    passed = d.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_chars") >= 2 * F.col("n_tokens"))
+        & (F.col("n_chars") <= 12 * F.col("n_tokens"))
+    )
+
+    def count_word(word):
+        return F.size(
+            F.split(F.concat(F.lit(" "), F.col("norm"), F.lit(" ")), f" {word} ")
+        ) - 1
+
+    score_en = count_word("the") + count_word("a")
+    score_data = count_word("data") + count_word("table")
+    lang = (
+        F.when(score_en > score_data, F.lit("en-ish"))
+        .when(score_en < score_data, F.lit("data-ish"))
+        .otherwise(F.lit("mixed"))
+    )
+    tagged = passed.select(
+        "doc_id", "n_tokens", "n_chars",
+        F.md5(F.encode(F.substring("norm", 1, 128), "utf-8")).alias("fp"),
+        lang.alias("lang_pred"),
+    )
+    deduped = tagged.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("lang_pred", "doc_id").alias("lang_pred"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+    )
+    return (
+        deduped.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.col("n_copies") - 1).alias("removed_dups"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+Q37_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents),
+m AS (
+  SELECT doc_id, norm,
+         len(string_split(norm, ' '))::bigint AS n_tokens,
+         length(replace(norm, ' ', ''))::bigint AS n_chars
+  FROM d),
+passed AS (
+  SELECT *,
+         len(string_split(' ' || norm || ' ', ' the '))
+           + len(string_split(' ' || norm || ' ', ' a ')) - 2 AS s_en,
+         len(string_split(' ' || norm || ' ', ' data '))
+           + len(string_split(' ' || norm || ' ', ' table ')) - 2 AS s_data
+  FROM m
+  WHERE n_tokens >= 5
+    AND n_chars BETWEEN 2 * n_tokens AND 12 * n_tokens),
+tagged AS (
+  SELECT doc_id, n_tokens, n_chars, md5(substr(norm, 1, 128)) AS fp,
+         CASE WHEN s_en > s_data THEN 'en-ish'
+              WHEN s_en < s_data THEN 'data-ish'
+              ELSE 'mixed' END AS lang_pred
+  FROM passed),
+deduped AS (
+  SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies,
+         min_by(lang_pred, doc_id) AS lang_pred,
+         min_by(n_tokens, doc_id) AS n_tokens,
+         min_by(n_chars, doc_id) AS n_chars
+  FROM tagged GROUP BY fp)
+SELECT lang_pred,
+       count(*) AS kept_docs,
+       sum(n_copies - 1)::bigint AS removed_dups,
+       sum(n_tokens)::bigint AS total_tokens,
+       sum(n_chars)::bigint AS total_chars
+FROM deduped
+GROUP BY lang_pred
+ORDER BY lang_pred
+"""
+
+
 def _shingles(spark, sf_dir):
     """8-char shingles at stride 4 (shared by q19/q20) — position explode
     carries the text column along (no self-join, no extra shuffle)."""
@@ -1353,6 +1465,7 @@ QUERIES: dict[str, Callable] = {
     "q34_moving_sum": q34_moving_sum,
     "q35_fingerprint_neardup": q35_fingerprint_neardup,
     "q36_image_thumbnails": q36_image_thumbnails,
+    "q37_corpus_prep": q37_corpus_prep,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1392,4 +1505,5 @@ ORACLE_SQL: dict[str, str] = {
     "q34_moving_sum": Q34_SQL,
     "q35_fingerprint_neardup": _q35_sql(),
     "q36_image_thumbnails": Q36_SQL,
+    "q37_corpus_prep": Q37_SQL,
 }

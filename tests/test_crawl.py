@@ -228,6 +228,59 @@ def test_token_bucket_politeness_matches_oracle(spark, tmp_path):
     assert seen == want.url_seen
 
 
+def test_trap_guards_match_oracle(spark, tmp_path):
+    """Crawler-trap guards (CrawlConfig.max_depth / max_url_len): the
+    engine matches the guarded oracle bit-for-bit, each guard measurably
+    prunes the crawl, and no fetched URL violates either bound."""
+    base = crawl_oracle(SEEDS, WEB, budget_per_host=BUDGET, max_epochs=EPOCHS)
+    depth_only = crawl_oracle(SEEDS, WEB, budget_per_host=BUDGET,
+                              max_epochs=EPOCHS, max_depth=1)
+    want = crawl_oracle(SEEDS, WEB, budget_per_host=BUDGET, max_epochs=EPOCHS,
+                        max_depth=1, max_url_len=24)
+    # each guard bites on its own
+    assert len(depth_only.url_seen) < len(base.url_seen)
+    assert len(want.url_seen) < len(depth_only.url_seen)
+    assert all(len(u) <= 24 for u in want.url_seen)
+
+    root = str(tmp_path / "trap")
+    cfg = CrawlConfig(budget_per_host=BUDGET, max_depth=1, max_url_len=24)
+    run_crawl(spark, root, SEEDS, WEB, cfg, max_epochs=EPOCHS)
+    assert _fetch_log_tuples(spark, root) == [
+        (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
+    ]
+    last = last_complete_epoch(root)
+    seen = {r.url_canon for r in read_url_seen(spark, root, last).collect()}
+    assert seen == want.url_seen
+
+
+def test_redirects_match_oracle(spark, tmp_path):
+    """301 redirect aliases (WebConfig.alias_every): stale /old/{j} links
+    301 to /page/{j}; the target flows through the ordinary discovery
+    pipeline at depth+1.  Engine == oracle bit-for-bit and redirects are
+    actually exercised (some 301 rows land in the fetch log, each
+    contributing exactly its Location as one outgoing link)."""
+    web = WebConfig(n_hosts=8, max_pages_per_host=20, alias_every=1)
+    seeds = web.seeds(4)
+    want = crawl_oracle(seeds, web, budget_per_host=2, max_epochs=5)
+    n301 = sum(1 for r in want.fetch_log if r["status"] == 301)
+    assert n301 > 0, "web too small to exercise redirects"
+    assert all("/old/" in r["url_canon"] for r in want.fetch_log
+               if r["status"] == 301)
+    # a 301 response contributes its Location as one outgoing link
+    assert all(r["n_links"] == 1 for r in want.fetch_log
+               if r["status"] == 301)
+
+    root = str(tmp_path / "redir")
+    run_crawl(spark, root, seeds, web, CrawlConfig(budget_per_host=2),
+              max_epochs=5)
+    assert _fetch_log_tuples(spark, root) == [
+        (r["epoch"], r["seq"], r["url_canon"]) for r in want.fetch_log
+    ]
+    last = last_complete_epoch(root)
+    seen = {r.url_canon for r in read_url_seen(spark, root, last).collect()}
+    assert seen == want.url_seen
+
+
 def test_junk_seed_dropped_identically(spark, tmp_path, oracle_state):
     """An unparseable seed ('[') is dropped by BOTH engine and oracle —
     the crawl over the remaining seeds stays bit-for-bit identical."""
