@@ -66,7 +66,7 @@ FRONTIER_SCHEMA = (
 SEEN_SCHEMA = "url_canon string, url_hash long, host_bucket int, seen_epoch int"
 FETCHLOG_SCHEMA = (
     "epoch int, seq int, url_canon string, host string, status int, "
-    "n_links int, n_images int"
+    "n_links int, n_images int, page_fp long"
 )
 FILTERS_SCHEMA = "host_bucket int, blob binary, fingerprint string"
 ROBOTS_SCHEMA = "host string, rules_json string, fetched_epoch int"
@@ -530,6 +530,7 @@ def _fetch_udf(web: WebConfig):
             T.StructField("status", T.IntegerType()),
             T.StructField("n_links", T.IntegerType()),
             T.StructField("n_images", T.IntegerType()),
+            T.StructField("page_fp", T.LongType()),
             T.StructField("links", T.ArrayType(T.StringType())),
         ]
     )
@@ -540,6 +541,7 @@ def _fetch_udf(web: WebConfig):
             fetch,
             response_links,
         )
+        from mlscraper_spark.crawl.urlnorm import content_fp
 
         for pdf in batches:
             rows = []
@@ -550,9 +552,14 @@ def _fetch_udf(web: WebConfig):
                 status, html = fetch(url, web)
                 links = response_links(url, status, html, web)
                 n_images = len(extract_images(html)) if status == 200 else 0
+                # content fingerprint of successful pages: the same page
+                # served under different canonical URLs (query-string
+                # mirrors) hashes identically, which is what crawl-time
+                # content dedup keys on; non-200 bodies carry no content
+                page_fp = content_fp(bytes(html)) if status == 200 else None
                 rows.append(
                     (url, host, int(hb), int(seq), int(depth), status,
-                     len(links), n_images, links)
+                     len(links), n_images, page_fp, links)
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
@@ -784,7 +791,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
 
     fetch_log = fetched.select(
         F.lit(epoch).alias("epoch"), "seq", "url_canon", "host",
-        "status", "n_links", "n_images",
+        "status", "n_links", "n_images", "page_fp",
     )
 
     # ---- discoveries: canonicalize, robots-filter, dedup (F11/J8) ------
@@ -1080,3 +1087,27 @@ def read_extractions(spark: SparkSession, root: str) -> DataFrame:
 
 def read_fetch_log(spark: SparkSession, root: str) -> DataFrame:
     return _read_epoch_tables(spark, root, "fetch_log", FETCHLOG_SCHEMA)
+
+
+def content_dup_groups(spark: SparkSession, root: str) -> DataFrame:
+    """Crawl-time content dedup: groups of distinct canonical URLs that
+    served byte-identical pages (same ``page_fp``) — e.g. query-string
+    mirrors of the same document.  Returns one row per duplicated
+    fingerprint: ``(page_fp, n_urls, canonical_url)`` where
+    ``canonical_url`` is the lexicographically-least member (the dedup
+    survivor a downstream extraction pipeline should keep).
+
+    Scale shape: a single hash aggregation over the fetch log keyed by
+    the 64-bit fingerprint — map-side partial aggs shrink each partition
+    to its distinct fps before the shuffle, and the output is bounded by
+    the number of *duplicated* documents, not the crawl size."""
+    return (
+        read_fetch_log(spark, root)
+        .filter(F.col("page_fp").isNotNull())
+        .groupBy("page_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("url_canon").alias("canonical_url"),
+        )
+        .filter(F.col("n_urls") > 1)
+    )

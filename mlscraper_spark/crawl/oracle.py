@@ -39,7 +39,12 @@ from mlscraper_spark.crawl.synthweb import (
     fetch,
     response_links,
 )
-from mlscraper_spark.crawl.urlnorm import host_of, try_canonicalize, url_hash
+from mlscraper_spark.crawl.urlnorm import (
+    content_fp,
+    host_of,
+    try_canonicalize,
+    url_hash,
+)
 
 
 def priority_of(depth: int) -> float:
@@ -144,6 +149,8 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
                     "status": status,
                     "n_links": len(links),
                     "n_images": n_images,
+                    "page_fp": content_fp(bytes(html))
+                    if status == 200 else None,
                 }
             )
             state.url_seen.add(url)

@@ -175,3 +175,15 @@ def host_of(url_canon: str) -> str:
 def host_bucket(host: str, n_buckets: int) -> int:
     """Equals ``F.pmod(F.xxhash64(host), n_buckets)`` in Spark."""
     return xxhash64(host.encode("utf-8")) % n_buckets
+
+
+def content_fp(body: bytes) -> int:
+    """Signed-64 content fingerprint of a response body (first 8 bytes of
+    md5, little-endian).  md5 over the KB-sized body runs in C — the
+    pure-Python ``xxhash64`` above is for the SHORT url/host strings that
+    must be bit-equal to Spark's JVM expression; a page body is hashed
+    once at fetch time and only ever compared fp-to-fp, so C-speed beats
+    JVM-recomputability on this hot path."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(body).digest()[:8], "little", signed=True)

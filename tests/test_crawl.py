@@ -228,6 +228,45 @@ def test_token_bucket_politeness_matches_oracle(spark, tmp_path):
     assert seen == want.url_seen
 
 
+def test_content_fingerprint_and_dedup_match_oracle(spark, tmp_path,
+                                                    oracle_state):
+    """fetch_log carries a page_fp content fingerprint (xxhash64 of the
+    200-response body, NULL otherwise); the engine's fingerprints equal
+    the oracle's row-for-row, and content_dup_groups finds exactly the
+    URL groups that served byte-identical pages (the synthetic web's
+    query-string mirrors guarantee at least one)."""
+    from collections import Counter
+
+    from mlscraper_spark.crawl.engine import content_dup_groups
+
+    root = str(tmp_path / "fp")
+    run_crawl(spark, root, SEEDS, WEB, CrawlConfig(budget_per_host=BUDGET),
+              max_epochs=EPOCHS)
+    got = {
+        (r.epoch, r.seq): (r.url_canon, r.page_fp)
+        for r in read_fetch_log(spark, root).collect()
+    }
+    want = {
+        (r["epoch"], r["seq"]): (r["url_canon"], r["page_fp"])
+        for r in oracle_state.fetch_log
+    }
+    assert got == want
+
+    fps = Counter(r["page_fp"] for r in oracle_state.fetch_log
+                  if r["page_fp"] is not None)
+    want_groups = {
+        (fp, n, min(r["url_canon"] for r in oracle_state.fetch_log
+                    if r["page_fp"] == fp))
+        for fp, n in fps.items() if n > 1
+    }
+    assert want_groups, "web too small to produce content mirrors"
+    got_groups = {
+        (r.page_fp, r.n_urls, r.canonical_url)
+        for r in content_dup_groups(spark, root).collect()
+    }
+    assert got_groups == want_groups
+
+
 def test_trap_guards_match_oracle(spark, tmp_path):
     """Crawler-trap guards (CrawlConfig.max_depth / max_url_len): the
     engine matches the guarded oracle bit-for-bit, each guard measurably
