@@ -61,6 +61,21 @@ def test_whole_stage_codegen_present(spark, sf):
     assert "WholeStageCodegen" in buf.getvalue()
 
 
+def test_corpus_prep_two_shuffles_no_udf(spark, sf):
+    """q37 composite pipeline: exactly the two aggregation Exchanges
+    (fingerprint dedup + language rollup) plus the final single-partition
+    orderBy, map-side partial aggs on both, and zero Python UDF stages —
+    the whole normalize/gate/lang-ID chain stays in JVM expressions."""
+    plan = _plan(spark, sf, Q.q37_corpus_prep)
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    n_exchange = body.count("Exchange")
+    assert n_exchange <= 3, f"expected <=3 Exchanges (2 aggs + sort): {n_exchange}"
+    assert body.count("HashAggregate") >= 4  # partial+final per agg
+    assert "partial_count" in body or "partial_min" in body
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    assert "FlatMapsInPandas" not in body and "MapInPandas" not in body
+
+
 def test_topk_uses_windowed_rank_not_global_sort(spark, sf):
     plan = _plan(spark, sf, Q.q05_topk_per_group)
     assert "Window" in plan or "WindowGroupLimit" in plan
