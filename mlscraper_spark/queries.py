@@ -586,10 +586,11 @@ def q37_corpus_prep(spark, sf_dir):
     normalized chars): web corpora are full of docs identical up front
     that diverge only in boilerplate tails, and this corpus carries
     exactly that shape, so a full-text hash would remove nothing.  The
-    kept row per group is the lowest doc_id, and its stats ride through
-    as ``min_by(…, doc_id)`` — the kept doc's own counts, not a mix of
-    the group's.  Output: per detected language, kept docs, removed
-    duplicate docs, and total tokens/chars of the kept corpus.
+    kept row per group is the lowest doc_id, carrying the kept doc's OWN
+    stats (not a mix of the group's) via all-primitive ``min_by`` —
+    hash-aggregable, see the lang_code comment below.  Output: per
+    detected language, kept docs, removed duplicate docs, and total
+    tokens/chars of the kept corpus.
     """
     docs = _t(spark, sf_dir, "documents")
     norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
@@ -612,30 +613,43 @@ def q37_corpus_prep(spark, sf_dir):
 
     score_en = count_word("the") + count_word("a")
     score_data = count_word("data") + count_word("table")
-    lang = (
-        F.when(score_en > score_data, F.lit("en-ish"))
-        .when(score_en < score_data, F.lit("data-ish"))
-        .otherwise(F.lit("mixed"))
+    # language as a NUMERIC code through the aggregations: min_by over
+    # all-primitive (long, long) buffers stays a HashAggregate, while a
+    # string value (or min over a struct / packed string) demotes both
+    # aggs to SortAggregate — a per-partition re-sort of the full tagged
+    # set at 10^10 rows.  The label is decoded after the rollup.
+    lang_code = (
+        F.when(score_en > score_data, F.lit(0))
+        .when(score_en < score_data, F.lit(1))
+        .otherwise(F.lit(2))
     )
     tagged = passed.select(
         "doc_id", "n_tokens", "n_chars",
         F.md5(F.encode(F.substring("norm", 1, 128), "utf-8")).alias("fp"),
-        lang.alias("lang_pred"),
+        lang_code.cast("long").alias("lang_code"),
     )
     deduped = tagged.groupBy("fp").agg(
-        F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
-        F.min_by("lang_pred", "doc_id").alias("lang_pred"),
+        F.min_by("lang_code", "doc_id").alias("lang_code"),
         F.min_by("n_tokens", "doc_id").alias("n_tokens"),
         F.min_by("n_chars", "doc_id").alias("n_chars"),
     )
+    lang_label = (
+        F.when(F.col("lang_code") == 0, F.lit("en-ish"))
+        .when(F.col("lang_code") == 1, F.lit("data-ish"))
+        .otherwise(F.lit("mixed"))
+    )
     return (
-        deduped.groupBy("lang_pred")
+        deduped.groupBy("lang_code")
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
             F.sum(F.col("n_copies") - 1).alias("removed_dups"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            lang_label.alias("lang_pred"),
+            "kept_docs", "removed_dups", "total_tokens", "total_chars",
         )
         .orderBy("lang_pred")
     )
@@ -662,23 +676,28 @@ passed AS (
     AND n_chars BETWEEN 2 * n_tokens AND 12 * n_tokens),
 tagged AS (
   SELECT doc_id, n_tokens, n_chars, md5(substr(norm, 1, 128)) AS fp,
-         CASE WHEN s_en > s_data THEN 'en-ish'
-              WHEN s_en < s_data THEN 'data-ish'
-              ELSE 'mixed' END AS lang_pred
+         CASE WHEN s_en > s_data THEN 0
+              WHEN s_en < s_data THEN 1
+              ELSE 2 END AS lang_code
   FROM passed),
 deduped AS (
-  SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies,
-         min_by(lang_pred, doc_id) AS lang_pred,
-         min_by(n_tokens, doc_id) AS n_tokens,
-         min_by(n_chars, doc_id) AS n_chars
-  FROM tagged GROUP BY fp)
-SELECT lang_pred,
-       count(*) AS kept_docs,
-       sum(n_copies - 1)::bigint AS removed_dups,
-       sum(n_tokens)::bigint AS total_tokens,
-       sum(n_chars)::bigint AS total_chars
-FROM deduped
-GROUP BY lang_pred
+  SELECT fp, count(*) AS n_copies,
+         arg_min(lang_code, doc_id) AS lang_code,
+         arg_min(n_tokens, doc_id) AS n_tokens,
+         arg_min(n_chars, doc_id) AS n_chars
+  FROM tagged GROUP BY fp),
+rolled AS (
+  SELECT lang_code,
+         count(*) AS kept_docs,
+         sum(n_copies - 1)::bigint AS removed_dups,
+         sum(n_tokens)::bigint AS total_tokens,
+         sum(n_chars)::bigint AS total_chars
+  FROM deduped GROUP BY lang_code)
+SELECT CASE WHEN lang_code = 0 THEN 'en-ish'
+            WHEN lang_code = 1 THEN 'data-ish'
+            ELSE 'mixed' END AS lang_pred,
+       kept_docs, removed_dups, total_tokens, total_chars
+FROM rolled
 ORDER BY lang_pred
 """
 

@@ -71,6 +71,7 @@ def test_corpus_prep_two_shuffles_no_udf(spark, sf):
     n_exchange = body.count("Exchange")
     assert n_exchange <= 3, f"expected <=3 Exchanges (2 aggs + sort): {n_exchange}"
     assert body.count("HashAggregate") >= 4  # partial+final per agg
+    assert "SortAggregate" not in body, "dedup agg fell back to sort-agg"
     assert "partial_count" in body or "partial_min" in body
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
     assert "FlatMapsInPandas" not in body and "MapInPandas" not in body
