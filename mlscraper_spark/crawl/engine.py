@@ -536,11 +536,7 @@ def _fetch_udf(web: WebConfig):
     )
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mlscraper_spark.crawl.synthweb import (
-            extract_images,
-            fetch,
-            response_links,
-        )
+        from mlscraper_spark.crawl.synthweb import fetch, response_meta
         from mlscraper_spark.crawl.urlnorm import content_fp
 
         for pdf in batches:
@@ -550,8 +546,7 @@ def _fetch_udf(web: WebConfig):
                 pdf["depth"],
             ):
                 status, html = fetch(url, web)
-                links = response_links(url, status, html, web)
-                n_images = len(extract_images(html)) if status == 200 else 0
+                links, n_images = response_meta(url, status, html, web)
                 # content fingerprint of successful pages: the same page
                 # served under different canonical URLs (query-string
                 # mirrors) hashes identically, which is what crawl-time

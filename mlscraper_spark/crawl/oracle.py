@@ -33,12 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from mlscraper_spark.crawl.synthweb import (
-    WebConfig,
-    extract_images,
-    fetch,
-    response_links,
-)
+from mlscraper_spark.crawl.synthweb import WebConfig, fetch, response_meta
 from mlscraper_spark.crawl.urlnorm import (
     content_fp,
     host_of,
@@ -138,8 +133,7 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, budget_per_host: int,
 
         for seq, (negp, uhash, url, depth) in enumerate(selected):
             status, html = fetch(url, cfg)
-            links = response_links(url, status, html, cfg)
-            n_images = len(extract_images(html)) if status == 200 else 0
+            links, n_images = response_meta(url, status, html, cfg)
             state.fetch_log.append(
                 {
                     "epoch": epoch,
