@@ -228,6 +228,36 @@ def test_token_bucket_politeness_matches_oracle(spark, tmp_path):
     assert seen == want.url_seen
 
 
+def test_link_scanner_matches_parser():
+    """The frontier path's regex link/image scanner returns EXACTLY what
+    the full DOM parse returns over the crawl corpus (every page of a
+    whole synthetic web incl. redirects/entities/private pages), and
+    never crashes on garbage bytes."""
+    from mlscraper_spark.crawl.synthweb import (
+        extract_images,
+        extract_links,
+        fetch,
+        response_meta,
+    )
+
+    web = WebConfig(n_hosts=10, max_pages_per_host=30, alias_every=1)
+    n_pages_checked = 0
+    for i in range(web.n_hosts):
+        for j in range(web.n_pages(i)):
+            url = f"http://{web.host_name(i)}/page/{j}"
+            status, html = fetch(url, web)
+            assert status == 200
+            links, n_img = response_meta(url, status, html, web)
+            assert links == extract_links(html)
+            assert n_img == len(extract_images(html))
+            n_pages_checked += 1
+    assert n_pages_checked > 100
+    for garbage in (b"", b"<<<", b"<a href=", b"\xff\xfe\x00junk",
+                    b"<a href='x'><img>"):
+        links, n_img = response_meta("http://h.test/x", 200, garbage, web)
+        assert isinstance(links, list) and isinstance(n_img, int)
+
+
 def test_content_fingerprint_and_dedup_match_oracle(spark, tmp_path,
                                                     oracle_state):
     """fetch_log carries a page_fp content fingerprint (xxhash64 of the
