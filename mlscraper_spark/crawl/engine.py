@@ -580,7 +580,14 @@ def _update_and_split(filters: DataFrame, seen_delta: DataFrame,
     a pure function of the hash SET under any shuffle arrival order),
     then candidates are checked against the updated filter.  A bucket
     seen only in candidates emits an empty filter blob — equivalent to
-    the previous absent-row convention (readers treat both as empty)."""
+    the previous absent-row convention (readers treat both as empty).
+
+    The cogroup ALSO performs the oracle's within-epoch merge rule on the
+    candidates (one row per url_canon, MIN depth; discovered_epoch is
+    constant within an epoch): url_canon determines host_bucket, so the
+    dedup is exact per bucket, and folding it in here means the raw
+    discovery delta shuffles ONCE (to this cogroup) instead of paying a
+    separate groupBy(url_canon) exchange first."""
     cand_cols = [c for c, _ in cand.dtypes]
     tagged = cand.withColumn("is_seen", F.lit(False)).unionByName(
         seen_delta.select("host_bucket", "url_hash",
@@ -607,6 +614,13 @@ def _update_and_split(filters: DataFrame, seen_delta: DataFrame,
             flt = CuckooFilter(cfg.filter_buckets)
         seen = mixed_pdf[mixed_pdf["is_seen"]]
         cpdf = mixed_pdf[~mixed_pdf["is_seen"]]
+        if len(cpdf):
+            # within-epoch merge rule (MIN depth per url_canon): stable
+            # sort + keep-first is deterministic — rows with equal
+            # (url_canon, depth) are fully identical this epoch
+            cpdf = cpdf.sort_values(
+                ["url_canon", "depth"], kind="mergesort"
+            ).drop_duplicates("url_canon", keep="first")
         if len(seen):
             flt.insert_many(np.sort(seen["url_hash"].to_numpy(np.int64)))
         blob = flt.to_bytes()
@@ -632,6 +646,8 @@ def _update_and_split(filters: DataFrame, seen_delta: DataFrame,
             }
         )
         frow["host_bucket"] = int(key[0])
+        if not len(out):  # concat with an EMPTY typed frame is the other
+            return frow   # arm of the pandas all-NA/empty FutureWarning
         return pd.concat([frow, out.astype({"maybe_seen": object})],
                          ignore_index=True)
 
@@ -813,8 +829,11 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     disc = _with_host_bucket(disc, cfg).withColumn(
         "url_hash", F.xxhash64("url_canon")
     ).withColumn("discovered_epoch", F.lit(epoch + 1))
-    # dedup within the epoch's delta under the oracle's merge rule
-    adds = _merge_by_url(disc)
+    # within-epoch dedup happens INSIDE the seen-check cogroup (same
+    # host_bucket key — saves a full groupBy(url_canon) exchange of the
+    # raw delta); column order fixed here so the cogroup's output schema
+    # is stable
+    adds = disc.select(*_IDENTITY_COLS)
 
     # ---- url_seen delta + cuckoo update (P10/E5) ------------------------
     seen_delta = selected.select(
