@@ -7,8 +7,9 @@ cores, within the 16 physical cores — see scripts/scaling_bench.py for the
 SMT rationale), interleaved 16/4/16/4 with min-of-legs per size so bursty
 external host load cannot fake or hide the ratio.
 
-Usage: python scripts/scaling_4m.py [n_hosts] [legs]
-Writes BENCH/scaling_4m.json.
+Usage: python scripts/scaling_4m.py [n_hosts] [legs] [outfile]
+Writes BENCH/scaling_4m.json (or [outfile]) — also usable for the 1M
+width: `python scripts/scaling_4m.py 300000 2 BENCH/scaling_1m_fast.json`.
 """
 from __future__ import annotations
 
@@ -22,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_HOSTS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
 LEGS = int(sys.argv[2]) if len(sys.argv) > 2 else 2  # per size
+OUTFILE = sys.argv[3] if len(sys.argv) > 3 else "BENCH/scaling_4m.json"
 
 
 def _loadavg() -> str:
@@ -78,8 +80,8 @@ def main():
         "min_t16": t16,
         "crawl_scaling_efficiency_min": round((t4 / t16) / 4.0, 2),
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling_4m.json", "w") as f:
+    os.makedirs(os.path.dirname(OUTFILE) or ".", exist_ok=True)
+    with open(OUTFILE, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
