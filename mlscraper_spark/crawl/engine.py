@@ -786,9 +786,21 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
                     _t, fmt):
     # ---- fetch + parse (S4, Arrow-batched, spread by url_hash) ---------
     fetch_fn, fetch_schema = _fetch_udf(web)
-    # 4 waves per core, capped by config — partition count never changes
-    # results (politeness is enforced upstream), only task granularity
-    n_fetch = min(cfg.fetch_partitions, spark.sparkContext.defaultParallelism * 4)
+    # 4 waves per core, capped by config, FLOORED so no task fetches more
+    # than ~50k URLs — the maxPartitionBytes-style bound for the fetch
+    # stage: a few-core cluster at a multi-million-URL epoch otherwise
+    # gets quarter-million-row Arrow tasks (worst-case fetch-result
+    # memory per python worker, and a retry re-fetches the whole chunk).
+    # Note the 4-core 4M-URL leg's superlinear width cost was NOT cured
+    # by this bound alone (measured 1190→1423 s across two runs on a
+    # bursty host) — kept for the memory/retry-granularity argument, not
+    # as a claimed speedup.  Partition count never changes results
+    # (politeness is enforced upstream), only task granularity.
+    n_fetch = min(
+        cfg.fetch_partitions,
+        max(spark.sparkContext.defaultParallelism * 4,
+            n_selected // 50_000 + 1),
+    )
     fetched = (
         selected.select("url_canon", "url_hash", "host", "host_bucket", "seq", "depth")
         .repartition(n_fetch, "url_hash")
