@@ -91,9 +91,14 @@ class CrawlConfig:
     # but loses the fast path, so at 10^10 URLs / 4096 buckets you'd run
     # 1 << 20 (8 MiB/bucket).  Changing this across a resume is rejected
     # (the blob header carries its geometry).
-    fetch_partitions: int = 128  # fetch-stage parallelism (independent of
-    # n_buckets: politeness is enforced before the fetch, so any even
-    # partitioning is sound; url_hash keying spreads heavy hosts)
+    fetch_partitions: int | None = None  # optional HARD CAP on fetch-stage
+    # task count; None (default) sizes by cores and width — 4 waves/core,
+    # ≤~50k URLs/task.  A fixed cap like the old default of 128 silently
+    # throttles a 1000-executor cluster (parallelism×4 ≫ 128), so a cap
+    # is only for callers that must bound task count (e.g. rate-limited
+    # egress).  Independent of n_buckets: politeness is enforced before
+    # the fetch, so any even partitioning is sound; url_hash keying
+    # spreads heavy hosts.
     max_ref_span: int = 8  # frontier refs may span at most this many
     # snapshots before a full compaction rewrite (bounds manifest-chain
     # length and lets old snapshots expire — Iceberg snapshot-expiry
@@ -796,11 +801,10 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     # bursty host) — kept for the memory/retry-granularity argument, not
     # as a claimed speedup.  Partition count never changes results
     # (politeness is enforced upstream), only task granularity.
-    n_fetch = min(
-        cfg.fetch_partitions,
-        max(spark.sparkContext.defaultParallelism * 4,
-            n_selected // 50_000 + 1),
-    )
+    n_fetch = max(spark.sparkContext.defaultParallelism * 4,
+                  n_selected // 50_000 + 1)
+    if cfg.fetch_partitions is not None:
+        n_fetch = min(cfg.fetch_partitions, n_fetch)
     fetched = (
         selected.select("url_canon", "url_hash", "host", "host_bucket", "seq", "depth")
         .repartition(n_fetch, "url_hash")
