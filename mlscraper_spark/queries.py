@@ -571,6 +571,42 @@ FROM documents
 """
 
 
+def q38_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles (p25/median/p75) of l_quantity per
+    return flag — the distribution-summary shape every data-quality
+    dashboard needs.  Exact ``percentile`` is a sort-based aggregate;
+    it is used here because the driver gate needs bit-reproducible
+    values, and the interpolations land on exact binary fractions
+    (integer-valued input, quarter fractions), so Spark and DuckDB agree
+    bit-for-bit regardless of their interpolation formula.  At 10^10
+    rows you swap in ``approx_percentile`` (t-digest sketch, mergeable
+    map-side) — same query shape, bounded error instead of a sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q38_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.5)  AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q37_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus prep: the composite pipeline an LLM-data
     job runs over raw documents — normalize → quality-gate → language-ID →
@@ -1485,6 +1521,7 @@ QUERIES: dict[str, Callable] = {
     "q35_fingerprint_neardup": q35_fingerprint_neardup,
     "q36_image_thumbnails": q36_image_thumbnails,
     "q37_corpus_prep": q37_corpus_prep,
+    "q38_quantiles": q38_quantiles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1525,4 +1562,5 @@ ORACLE_SQL: dict[str, str] = {
     "q35_fingerprint_neardup": _q35_sql(),
     "q36_image_thumbnails": Q36_SQL,
     "q37_corpus_prep": Q37_SQL,
+    "q38_quantiles": Q38_SQL,
 }
