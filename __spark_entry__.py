@@ -77,7 +77,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from mlscraper_spark.queries import release_caches
+
             _ship_package(spark)
+            # the driver's parity runner executes the whole registry in one
+            # SparkSession: drop whatever the previous query left cached so
+            # storage memory stays bounded at one query's working set
+            release_caches()
             return fn(spark, sf_dir)
 
         return run

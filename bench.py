@@ -82,8 +82,9 @@ def main():
 
     # BASELINE.json headline metrics: frontier URLs/sec + extraction rows/sec
     urls_per_sec = extract_rows_per_sec = None
+    crawl_detail = None
     if os.environ.get("BENCH_SKIP_THROUGHPUT") != "1":
-        urls_per_sec, extract_rows_per_sec = _throughput(spark)
+        urls_per_sec, extract_rows_per_sec, crawl_detail = _throughput(spark)
 
     out = {
         "metric": "headline query wall time (lower is better)",
@@ -92,6 +93,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "urls_per_sec": urls_per_sec,
+        "crawl_probe": crawl_detail,
         "extract_rows_per_sec": extract_rows_per_sec,
         "master": spark.sparkContext.master,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
@@ -119,7 +121,7 @@ def _warm_python_workers(spark):
 
 
 def _throughput(spark):
-    """Frontier-processing URLs/sec (2-epoch BSP crawl) and image-caption
+    """Frontier-processing URLs/sec (2 wide epochs, ~900k-URL BSP crawl) and image-caption
     extraction rows/sec (fused fetch→parse→extract), on the deterministic
     synthetic web."""
     import shutil
@@ -131,17 +133,27 @@ def _throughput(spark):
     from mlscraper_spark.crawl.synthweb import WebConfig
     from mlscraper_spark.images.ops import fetch_and_extract_images
 
-    web = WebConfig(n_hosts=20000, max_pages_per_host=40, links_per_page=4)
+    # ~900k URLs over 2 WIDE epochs (100k hosts; links_per_page=10 so the
+    # discovery epoch can spend its full budget of 8): epoch width is what
+    # amortizes the fixed per-epoch cost — the previous 68k-URL probe sat
+    # in the fixed-cost regime and its URLs/s swung 2.4× across identical
+    # engines (VERDICT r2), measuring host load instead of the engine.
+    # Per-leg seconds + loadavg are reported so a noisy leg is
+    # identifiable round-over-round.
+    web = WebConfig(n_hosts=100000, max_pages_per_host=40, links_per_page=10)
     seeds = [f"http://{web.host_name(i)}/page/0" for i in range(web.n_hosts)]
     # best-of-2, same rationale as the query loop (fresh root each leg —
     # a reused root would resume, not re-crawl)
     crawl_sec, n_urls = None, None
+    crawl_legs, crawl_loads = [], []
     for _ in range(2):
         root = tempfile.mkdtemp(prefix="bench_crawl_")
+        crawl_loads.append(_loadavg())
         t0 = time.time()
         run_crawl(spark, root, seeds, web,
                   CrawlConfig(budget_per_host=8, n_buckets=32), max_epochs=2)
         leg = time.time() - t0
+        crawl_legs.append(round(leg, 1))
         if crawl_sec is None or leg < crawl_sec:
             crawl_sec = leg
             n_urls = read_fetch_log(spark, root).count()
@@ -166,7 +178,9 @@ def _throughput(spark):
         leg = time.time() - t0
         if extract_sec is None or leg < extract_sec:
             extract_sec, n_rows = leg, n
-    return round(n_urls / crawl_sec, 1), round(n_rows / extract_sec, 1)
+    return (round(n_urls / crawl_sec, 1), round(n_rows / extract_sec, 1),
+            {"n_urls": n_urls, "crawl_legs_sec": crawl_legs,
+             "crawl_leg_loadavg": crawl_loads})
 
 
 if __name__ == "__main__":

@@ -51,6 +51,7 @@ import re
 from dataclasses import dataclass
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -568,6 +569,68 @@ def _fetch_udf(web: WebConfig):
     return _fetch, out_schema
 
 
+# typed zero / pandas dtype per Spark simple type, for the fused cogroup's
+# filter row below.  The filter row's candidate columns are never consumed
+# (readers project by ``kind``), but they carry REAL typed values so the
+# concat in _fuse_frames never pairs an all-NA column with a typed one —
+# pandas' concat dtype-inference FutureWarning trap.  All-NA OBJECT columns
+# meeting object columns (blob/fingerprint on the candidate rows) are
+# warning-free and inference-stable.
+_TYPED_ZERO = {"string": "", "bigint": 0, "int": 0, "double": 0.0,
+               "float": 0.0, "boolean": False}
+_PD_DTYPE = {"string": object, "bigint": "int64", "int": "int32",
+             "double": "float64", "float": "float32", "boolean": bool}
+
+
+def _fuse_frames(cand_dtypes: list, cpdf: pd.DataFrame, maybe_seen,
+                 blob: bytes, fingerprint: str, bucket: int) -> pd.DataFrame:
+    """Assemble one cogroup output frame: one ``kind='f'`` filter row
+    (blob + lineage fingerprint) followed by the ``kind='c'`` candidate
+    rows.  Module-level pure-pandas so the no-FutureWarning contract is
+    pinned by an in-process test (worker-side warnings never reach
+    pytest's filters); Arrow casts the result back per the cogroup's
+    out_schema, so exact frame dtypes are cosmetic — what matters is that
+    no concat operand has an all-NA column facing a differently-typed one.
+    """
+    cols = {c: pd.Series([_TYPED_ZERO[t]], dtype=_PD_DTYPE[t])
+            for c, t in cand_dtypes}
+    cols["host_bucket"] = pd.Series([bucket], dtype="int32")
+    frow = pd.DataFrame({
+        **cols,
+        "maybe_seen": pd.Series([False]),
+        "blob": pd.Series([blob], dtype=object),
+        "fingerprint": pd.Series([fingerprint], dtype=object),
+        "kind": pd.Series(["f"], dtype=object),
+    })
+    if not len(cpdf):
+        return frow
+    out = cpdf.copy()
+    out["maybe_seen"] = maybe_seen
+    out["blob"] = None
+    out["fingerprint"] = None
+    out["kind"] = "c"
+    return pd.concat([frow, out], ignore_index=True)
+
+
+def _surviving_frontier(old_dirty: DataFrame, selected: DataFrame) -> DataFrame:
+    """Previous-epoch frontier rows (dirty buckets only) that were NOT
+    fetched this epoch.  Deliberately NO broadcast hint: ``selected`` is
+    epoch-width (budget × active hosts — millions of URL strings at the
+    production widths this engine targets), so forcing a broadcast would
+    blow driver/broadcast memory exactly when the engine matters.  The
+    strategy is left to the optimizer/AQE, which still broadcasts
+    genuinely small fetch sets at test scale and falls back to a shuffled
+    anti-join otherwise; keying on (host_bucket, url_canon) — equivalent,
+    since url_canon determines host_bucket — keeps that shuffle aligned
+    with the engine's bucket partitioning.  Pinned hint-free by
+    test_crawl.py::test_delta_merge_has_no_broadcast_hint."""
+    return old_dirty.join(
+        selected.select("host_bucket", "url_canon"),
+        ["host_bucket", "url_canon"],
+        "left_anti",
+    )
+
+
 def _update_and_split(filters: DataFrame, seen_delta: DataFrame,
                       cand: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """ONE cogroup pass per host_bucket: insert this epoch's fetched
@@ -593,7 +656,8 @@ def _update_and_split(filters: DataFrame, seen_delta: DataFrame,
     dedup is exact per bucket, and folding it in here means the raw
     discovery delta shuffles ONCE (to this cogroup) instead of paying a
     separate groupBy(url_canon) exchange first."""
-    cand_cols = [c for c, _ in cand.dtypes]
+    cand_dtypes = cand.dtypes
+    cand_cols = [c for c, _ in cand_dtypes]
     tagged = cand.withColumn("is_seen", F.lit(False)).unionByName(
         seen_delta.select("host_bucket", "url_hash",
                           F.lit(True).alias("is_seen")),
@@ -629,32 +693,15 @@ def _update_and_split(filters: DataFrame, seen_delta: DataFrame,
         if len(seen):
             flt.insert_many(np.sort(seen["url_hash"].to_numpy(np.int64)))
         blob = flt.to_bytes()
-        out = cpdf[cand_cols].copy()
-        out["maybe_seen"] = (
+        maybe_seen = (
             flt.contains_many(cpdf["url_hash"].to_numpy(np.int64))
             if len(cpdf)
             else np.zeros(0, dtype=bool)
         )
-        out["blob"] = None
-        out["fingerprint"] = None
-        out["kind"] = "c"
-        # object dtype for the all-NA carrier columns: concat of an all-NA
-        # column with a typed one is a pandas FutureWarning (and will
-        # change dtype inference); Arrow casts back per out_schema anyway
-        frow = pd.DataFrame(
-            {
-                **{c: pd.Series([None], dtype=object) for c in cand_cols},
-                "maybe_seen": pd.Series([None], dtype=object),
-                "blob": [blob],
-                "fingerprint": [hashlib.md5(blob).hexdigest()],
-                "kind": ["f"],
-            }
+        return _fuse_frames(
+            cand_dtypes, cpdf[cand_cols], maybe_seen, blob,
+            hashlib.md5(blob).hexdigest(), int(key[0]),
         )
-        frow["host_bucket"] = int(key[0])
-        if not len(out):  # concat with an EMPTY typed frame is the other
-            return frow   # arm of the pandas all-NA/empty FutureWarning
-        return pd.concat([frow, out.astype({"maybe_seen": object})],
-                         ignore_index=True)
 
     return filters.select("host_bucket", "blob").groupBy("host_bucket").cogroup(
         tagged.groupBy("host_bucket")
@@ -896,9 +943,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     _t = _trace("plan-delta", _t)
 
     old_dirty = read_frontier(spark, root, epoch - 1, buckets=dirty)
-    surviving = old_dirty.join(
-        F.broadcast(selected.select("url_canon")), "url_canon", "left_anti"
-    )
+    surviving = _surviving_frontier(old_dirty, selected)
     frontier_dirty = (
         _merge_by_url(
             surviving.select(*_IDENTITY_COLS).unionByName(

@@ -120,44 +120,68 @@ def decode_video(blob: bytes, fmt: str, w: int, h: int):
 
 def synth_audio_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """ids → AUDIO_SCHEMA rows.  Duration derives from the id hash
-    (0.25–2.25 s at 8 kHz) so the table is a pure function of the ids."""
+    (0.25–2.25 s at 8 kHz) so the table is a pure function of the ids.
+
+    Optional override columns on ``ids_df`` (both SQL-derivable, which is
+    what gives q40 its exact DuckDB oracle): ``n_samples`` pins each
+    clip's length; ``fmt`` pins the format LABEL.  The payload bytes are
+    always the real pcm16 waveform — a non-pcm16 label models the
+    "bytes we can't decode here" case (blob present and sized, decoder
+    stubbed), exactly how compressed formats behave in this container."""
+    has_n = "n_samples" in ids_df.columns
+    has_fmt = "fmt" in ids_df.columns
+    cols = [id_col] + (["n_samples"] if has_n else []) + (
+        ["fmt"] if has_fmt else [])
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mlscraper_spark.crawl.urlnorm import xxhash64
 
         for pdf in batches:
             rows = []
-            for raw_id in pdf[id_col]:
+            for i, raw_id in enumerate(pdf[id_col]):
                 audio_id = f"audio/{raw_id}"
-                n = _SAMPLE_RATE // 4 + (
-                    xxhash64(audio_id.encode()) % (2 * _SAMPLE_RATE)
+                n = int(pdf["n_samples"].iloc[i]) if has_n else (
+                    _SAMPLE_RATE // 4
+                    + xxhash64(audio_id.encode()) % (2 * _SAMPLE_RATE)
                 )
+                fmt = str(pdf["fmt"].iloc[i]) if has_fmt else "pcm16"
                 blob = encode_audio(synth_audio(audio_id, n), "pcm16")
                 rows.append(
-                    (audio_id, blob, _SAMPLE_RATE, n, "pcm16",
+                    (audio_id, blob, _SAMPLE_RATE, n, fmt,
                      f"transcript for {raw_id}")
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
 
-    return ids_df.select(id_col).mapInPandas(_run, AUDIO_SCHEMA)
+    return ids_df.select(*cols).mapInPandas(_run, AUDIO_SCHEMA)
 
 
 def synth_video_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """ids → VIDEO_SCHEMA rows (16×16 clips, 4–11 frames, fps 8)."""
+    """ids → VIDEO_SCHEMA rows (16×16 clips, 4–11 frames, fps 8).
+
+    Same optional override columns as :func:`synth_audio_table`:
+    ``n_frames`` pins the clip length, ``fmt`` pins the format label
+    (payload stays real rawv frames — see the audio docstring)."""
+    has_n = "n_frames" in ids_df.columns
+    has_fmt = "fmt" in ids_df.columns
+    cols = [id_col] + (["n_frames"] if has_n else []) + (
+        ["fmt"] if has_fmt else [])
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mlscraper_spark.crawl.urlnorm import xxhash64
 
         for pdf in batches:
             rows = []
-            for raw_id in pdf[id_col]:
+            for i, raw_id in enumerate(pdf[id_col]):
                 video_id = f"video/{raw_id}"
-                nf = 4 + int(xxhash64(video_id.encode()) % 8)
+                nf = int(pdf["n_frames"].iloc[i]) if has_n else (
+                    4 + int(xxhash64(video_id.encode()) % 8)
+                )
+                fmt = str(pdf["fmt"].iloc[i]) if has_fmt else "rawv"
                 blob = encode_video(synth_video(video_id, 16, 16, nf), "rawv")
-                rows.append((video_id, blob, 16, 16, nf, 8, "rawv"))
+                rows.append((video_id, blob, 16, 16, nf, 8, fmt))
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
 
-    return ids_df.select(id_col).mapInPandas(_run, VIDEO_SCHEMA)
+    return ids_df.select(*cols).mapInPandas(_run, VIDEO_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -250,4 +274,70 @@ def sample_frames(video_df: DataFrame, every_k: int = 2) -> DataFrame:
 
     return video_df.select("video_id", "bytes", "w", "h", "fmt").mapInPandas(
         _run, FRAMES_SCHEMA
+    )
+
+
+MEDIA_INVENTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("n_units", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_inventory(audio_df: DataFrame) -> DataFrame:
+    """Decode-verified audio inventory: blob size + DECODED sample count
+    per clip (``n_units`` comes from the decoder output, not the metadata
+    column, so a truncated or mislabeled blob shows up as a mismatch or a
+    ``decode_ok=false`` row).  All-integer outputs — that is what lets
+    q40 pin this path to an exact DuckDB oracle (the q26 pattern), unlike
+    ``audio_features``' rounded doubles.  One Arrow stage, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for audio_id, blob, fmt in zip(pdf["audio_id"], pdf["bytes"],
+                                           pdf["fmt"]):
+                nb = len(blob) if blob is not None else None
+                try:
+                    s = decode_audio(bytes(blob), fmt)
+                    rows.append((audio_id, nb, len(s), True))
+                except Exception:
+                    # 0 units decoded, not NULL: keeps the column int-typed
+                    # end to end (nullable ints round-trip as float NaN
+                    # through pandas, breaking exact parity)
+                    rows.append((audio_id, nb, 0, False))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_INVENTORY_SCHEMA.fields]
+            )
+
+    return audio_df.select("audio_id", "bytes", "fmt").mapInPandas(
+        _run, MEDIA_INVENTORY_SCHEMA
+    )
+
+
+def video_inventory(video_df: DataFrame) -> DataFrame:
+    """Decode-verified video inventory: blob size + DECODED frame count
+    (see :func:`audio_inventory`)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for video_id, blob, w, h, fmt in zip(
+                pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                nb = len(blob) if blob is not None else None
+                try:
+                    frames = decode_video(bytes(blob), fmt, int(w), int(h))
+                    rows.append((video_id, nb, len(frames), True))
+                except Exception:
+                    rows.append((video_id, nb, 0, False))  # see audio_inventory
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_INVENTORY_SCHEMA.fields]
+            )
+
+    return video_df.select("video_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _run, MEDIA_INVENTORY_SCHEMA
     )

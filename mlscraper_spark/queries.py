@@ -30,6 +30,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def _scoped_cache(df: DataFrame) -> DataFrame:
+    """``cache()`` whose lifetime is one registry query.
+
+    ``release_caches()`` — called at every query entry via the
+    ``__spark_entry__`` wrapper and by bench.py between legs — unpersists
+    whatever a previous query left cached, so a sequential N-query session
+    (the driver's parity runner executes all of them in ONE SparkSession)
+    holds at most one query's worth of executor storage memory instead of
+    accumulating leaked shingle/assignment caches."""
+    df = df.cache()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every cache a previous registry query created (no-op when
+    none).  Safe to call while a released plan is still lazy: Spark just
+    recomputes the subtree if it is re-executed later."""
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 
 def _ensure_utc(spark: SparkSession) -> None:
     """Timestamp-formatting queries must not depend on who built the
@@ -772,7 +801,7 @@ def q19_minhash_lsh_pairs(spark, sf_dir):
     the exact Jaccard join then confirms — the same fast-path +
     exact-backstop shape as the URL-seen design (SURVEY §2.2 P10).
     """
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _scoped_cache(_shingles(spark, sf_dir))
     mh = sh.groupBy("doc_id", F.substring("h", 1, 1).alias("b")).agg(
         F.min("h").alias("m")
     )
@@ -858,7 +887,7 @@ def q30_ngram_jaccard(spark, sf_dir):
     alternative; at web scale you run the capped index for short docs and
     minhash for long ones.
     """
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _scoped_cache(_shingles(spark, sf_dir))
     rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 50)
     idx = sh.join(rare.select("h"), "h")
     ia, ib = idx.alias("ia"), idx.alias("ib")
@@ -1145,9 +1174,9 @@ def q29_ann_ivf(spark, sf_dir):
         )
     )
     # cache: both sides of the cell self-join read the assignment
-    assigned = best.select(
+    assigned = _scoped_cache(best.select(
         "vec_id", "v", (-F.col("b.negcid")).alias("cell")
-    ).cache()
+    ))
     q = assigned.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
     )
@@ -1479,6 +1508,139 @@ FROM dims
 """
 
 
+def q39_dedup_clusters(spark, sf_dir):
+    """Dedup cluster formation: connected components + survivor election
+    over the q19 MinHash-LSH near-dup pairs.
+
+    Every near-dup query (q19/q27/q30/q35) stops at pairs; a corpus dedup
+    needs the transitive closure — with A~B~C, pair-wise survivor-keeping
+    drops or double-keeps documents.  The operator
+    (operators/neardup.py::dedup_clusters) runs iterative min-label
+    propagation: one hash-join shuffle + one hash agg per round,
+    O(component diameter) rounds, scalar-count convergence check — the
+    BSP shape that survives 10^10 docs.  The DuckDB oracle replays it as
+    a recursive transitive-closure CTE."""
+    pairs = q19_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    from mlscraper_spark.operators.neardup import dedup_clusters
+
+    return dedup_clusters(pairs)
+
+
+Q39_SQL = f"""
+WITH RECURSIVE pairs AS ({Q19_SQL}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT s AS doc_id, s AS lab FROM edges
+  UNION
+  SELECT e.t AS doc_id, r.lab FROM reach r JOIN edges e ON e.s = r.doc_id)
+SELECT doc_id, min(lab) AS cluster_id, doc_id = min(lab) AS is_survivor
+FROM reach GROUP BY doc_id
+"""
+
+
+def q40_media_inventory(spark, sf_dir):
+    """Audio/video multimodal columns, driver-gated (q26 pattern): synth
+    media tables over documents with SQL-derivable sizes and a stub-format
+    policy, then the decode-path inventory operators.
+
+    Clip lengths come from ``n_chars`` (not the id hash) so the DuckDB
+    oracle can replay them; format labels follow doc_id parity — odd
+    audio rows say ``mp3`` and every third video row says ``h264``, whose
+    decoders are honestly stubbed here, so those rows must come back
+    ``decode_ok=false`` with ``n_units=0`` (blob bytes still present
+    and sized).  ``n_units`` on decodable rows is the DECODED count
+    (samples/frames), so parity also proves the pcm16/rawv codecs
+    round-trip exactly.  Three Arrow stages, zero shuffle."""
+    from mlscraper_spark.media.ops import (
+        audio_inventory,
+        synth_audio_table,
+        synth_video_table,
+        video_inventory,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    aud = synth_audio_table(docs.select(
+        "doc_id",
+        (2000 + F.pmod("n_chars", F.lit(577)) * 16).cast("int").alias("n_samples"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("pcm16"))
+        .otherwise(F.lit("mp3")).alias("fmt"),
+    ))
+    vid = synth_video_table(docs.select(
+        "doc_id",
+        (4 + F.pmod("n_chars", F.lit(8))).cast("int").alias("n_frames"),
+        F.when(F.col("doc_id") % 3 != 0, F.lit("rawv"))
+        .otherwise(F.lit("h264")).alias("fmt"),
+    ))
+    a_inv = audio_inventory(aud).select(
+        F.lit("audio").alias("kind"), "media_id", "n_bytes", "n_units",
+        "decode_ok",
+    )
+    v_inv = video_inventory(vid).select(
+        F.lit("video").alias("kind"), "media_id", "n_bytes", "n_units",
+        "decode_ok",
+    )
+    return a_inv.unionByName(v_inv)
+
+
+Q40_SQL = """
+WITH a AS (
+  SELECT 'audio' AS kind,
+         'audio/' || doc_id::varchar AS media_id,
+         (2 * (2000 + (n_chars % 577) * 16))::int AS n_bytes,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 2000 + (n_chars % 577) * 16 ELSE 0 END)::int AS n_units,
+         doc_id % 2 = 0 AS decode_ok
+  FROM documents),
+v AS (
+  SELECT 'video' AS kind,
+         'video/' || doc_id::varchar AS media_id,
+         (768 * (4 + n_chars % 8))::int AS n_bytes,
+         (CASE WHEN doc_id % 3 <> 0 THEN 4 + n_chars % 8 ELSE 0 END)::int AS n_units,
+         doc_id % 3 <> 0 AS decode_ok
+  FROM documents)
+SELECT * FROM a UNION ALL SELECT * FROM v
+"""
+
+
+def q41_skew_salted(spark, sf_dir):
+    """Skew mitigation, driver-gated: per-event-type stats computed
+    through BOTH explicit-skew operators (operators/skew.py) — the hot
+    ``event_type`` key (a handful of distinct values over the whole
+    events table is exactly the skew AQE can't always split) is spread
+    over 8 salts in ``salted_join``, and the distinct-user count runs as
+    ``salted_count_distinct``'s two-phase partial/merge.  Salting is
+    semantics-transparent, so the oracle is the plain unsalted SQL."""
+    from mlscraper_spark.operators.skew import (
+        salted_count_distinct,
+        salted_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    joined = salted_join(
+        ev.select("event_type", "value"), dim, "event_type", n_salts=8
+    )
+    sums = joined.groupBy("event_type").agg(
+        F.first("type_total").alias("type_total"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double").alias("sum_value"),
+    )
+    nd = salted_count_distinct(ev, "event_type", "user_id")
+    return sums.join(nd, "event_type")
+
+
+Q41_SQL = """
+SELECT event_type,
+       count(*)::bigint AS type_total,
+       sum(value::decimal(18,6))::double AS sum_value,
+       count(DISTINCT user_id)::bigint AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1522,6 +1684,9 @@ QUERIES: dict[str, Callable] = {
     "q36_image_thumbnails": q36_image_thumbnails,
     "q37_corpus_prep": q37_corpus_prep,
     "q38_quantiles": q38_quantiles,
+    "q39_dedup_clusters": q39_dedup_clusters,
+    "q40_media_inventory": q40_media_inventory,
+    "q41_skew_salted": q41_skew_salted,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1563,4 +1728,7 @@ ORACLE_SQL: dict[str, str] = {
     "q36_image_thumbnails": Q36_SQL,
     "q37_corpus_prep": Q37_SQL,
     "q38_quantiles": Q38_SQL,
+    "q39_dedup_clusters": Q39_SQL,
+    "q40_media_inventory": Q40_SQL,
+    "q41_skew_salted": Q41_SQL,
 }

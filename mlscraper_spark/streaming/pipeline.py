@@ -45,12 +45,13 @@ def windowed_event_counts(events: DataFrame, window: str = "6 hours",
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over an events directory (the crawl's metrics/
-    fetch_log dirs stream the same way — append-only parquet)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(events_dir)
+    """Streaming source over an events directory, via the TableFormat
+    seam (the crawl's metrics/fetch_log tables stream the same way —
+    append-only deltas arrive as new commits/files)."""
+    from mlscraper_spark.tables import get_table_format
+
+    return get_table_format(spark).read_stream(
+        spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=4
     )
 
 
@@ -104,16 +105,17 @@ def crawl_monitor(fetch_log: DataFrame) -> DataFrame:
 
 
 def stream_fetch_log(spark: SparkSession, crawl_root: str) -> DataFrame:
-    """File-source stream over every snapshot's fetch_log (append-only
-    parquet — new epochs appear as new files and flow through incrementally)."""
+    """Stream over every snapshot's fetch_log via the TableFormat seam
+    (append-only — new epochs appear as new commits/files and flow
+    through incrementally)."""
     import os
 
     from mlscraper_spark.crawl.engine import FETCHLOG_SCHEMA
+    from mlscraper_spark.tables import get_table_format
 
-    return (
-        spark.readStream.schema(FETCHLOG_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(os.path.join(crawl_root, "snap_*", "fetch_log"))
+    return get_table_format(spark).read_stream(
+        spark, os.path.join(crawl_root, "snap_*", "fetch_log"),
+        FETCHLOG_SCHEMA, max_files_per_trigger=8,
     )
 
 

@@ -33,6 +33,13 @@ class TableFormat:
     def read(self, spark: SparkSession, paths: list[str], schema=None) -> DataFrame:
         raise NotImplementedError
 
+    def read_stream(self, spark: SparkSession, path: str, schema=None,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+        """Structured-streaming source over one table path/glob (the
+        append-only tables stream naturally: new epoch deltas appear as
+        new commits/files and flow through incrementally)."""
+        raise NotImplementedError
+
     def exists(self, spark: SparkSession, path: str) -> bool:
         raise NotImplementedError
 
@@ -49,6 +56,15 @@ class ParquetSnapshotFormat(TableFormat):
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
+
+    def read_stream(self, spark: SparkSession, path: str, schema=None,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+        reader = spark.readStream
+        if schema is not None:
+            reader = reader.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(path)
 
     def exists(self, spark: SparkSession, path: str) -> bool:
         import os
@@ -88,6 +104,16 @@ class IcebergSnapshotFormat(TableFormat):
         except Exception:
             return False
 
+    def read_stream(self, spark: SparkSession, path: str, schema=None,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+        # Iceberg's incremental streaming source; schema comes from the
+        # table, rate limiting from streaming options
+        reader = spark.readStream.format("iceberg")
+        if max_files_per_trigger is not None:
+            reader = reader.option("streaming-max-files-per-micro-batch",
+                                   max_files_per_trigger)
+        return reader.load(path)
+
     def is_complete(self, spark: SparkSession, path: str) -> bool:
         # Iceberg writes are atomic at the snapshot level: a loadable
         # table IS a committed table
@@ -104,10 +130,36 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_OVERRIDE: TableFormat | None = None
+
+
 def get_table_format(spark: SparkSession) -> TableFormat:
     # probed per call: the Class.forName round-trip costs ~1 ms and a
     # cache keyed by session identity can go stale (id() reuse after GC)
+    if _OVERRIDE is not None:
+        return _OVERRIDE
     return (
         IcebergSnapshotFormat() if iceberg_available(spark)
         else ParquetSnapshotFormat()
     )
+
+
+class use_table_format:
+    """Context manager injecting a TableFormat for everything under it —
+    how the fake-format contract test proves the epoch loop touches
+    storage ONLY via the seam, and how a deployment could force a
+    specific format regardless of the classpath probe."""
+
+    def __init__(self, fmt: TableFormat):
+        self._fmt = fmt
+
+    def __enter__(self):
+        global _OVERRIDE
+        self._prev = _OVERRIDE
+        _OVERRIDE = self._fmt
+        return self._fmt
+
+    def __exit__(self, *exc):
+        global _OVERRIDE
+        _OVERRIDE = self._prev
+        return False

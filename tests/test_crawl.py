@@ -469,3 +469,144 @@ def test_cuckoo_saturation_never_false_negative():
     again = CuckooFilter.from_bytes(flt.to_bytes(), 1 << 4)
     assert again.saturated
     assert again.contains_many(np.array(hashes, dtype=np.int64)).all()
+
+
+def test_fuse_frames_warning_free():
+    """The fused cogroup's frame assembly (engine._fuse_frames) must never
+    trip pandas' all-NA-concat FutureWarning — the filter row carries typed
+    dummies, not all-NA columns.  Runs the exact module-level code the
+    worker runs, with warnings-as-errors (worker-side warnings never reach
+    pytest's filters, so this is the pin)."""
+    import warnings
+
+    import pandas as pd
+
+    from mlscraper_spark.crawl.engine import _fuse_frames
+
+    cand_dtypes = [
+        ("url_canon", "string"), ("url_hash", "bigint"), ("host", "string"),
+        ("host_bucket", "int"), ("depth", "int"), ("discovered_epoch", "int"),
+    ]
+    # depth/discovered_epoch arrive float64 in the worker (Arrow upcasts
+    # int columns that are null on the seen-delta rows) — replicate that
+    cpdf = pd.DataFrame({
+        "url_canon": ["http://a.test/1", "http://a.test/2"],
+        "url_hash": np.array([11, 22], dtype=np.int64),
+        "host": ["a.test", "a.test"],
+        "host_bucket": np.array([3, 3], dtype=np.int32),
+        "depth": np.array([1.0, 2.0]),
+        "discovered_epoch": np.array([4.0, 4.0]),
+    })
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        full = _fuse_frames(cand_dtypes, cpdf, np.array([True, False]),
+                            b"\x00blob", "fp", 3)
+        empty = _fuse_frames(cand_dtypes, cpdf.iloc[:0], np.zeros(0, bool),
+                             b"\x00blob", "fp", 3)
+    assert list(full["kind"]) == ["f", "c", "c"]
+    assert full["blob"].iloc[0] == b"\x00blob" and full["fingerprint"].iloc[0] == "fp"
+    assert full["blob"].iloc[1] is None
+    assert list(full["maybe_seen"])[1:] == [True, False]
+    assert list(full["url_canon"])[1:] == ["http://a.test/1", "http://a.test/2"]
+    assert int(full["host_bucket"].iloc[0]) == 3
+    assert list(empty["kind"]) == ["f"] and empty["blob"].iloc[0] == b"\x00blob"
+
+
+def test_delta_merge_has_no_broadcast_hint(spark):
+    """The frontier/fetch-set anti-join must not force a broadcast:
+    ``selected`` is epoch-width (millions of URLs in production), so the
+    strategy belongs to the optimizer/AQE.  Pins engine._surviving_frontier
+    hint-free, and its semantics (old-frontier rows minus fetched)."""
+    from mlscraper_spark.crawl.engine import FRONTIER_SCHEMA, _surviving_frontier
+
+    old = spark.createDataFrame(
+        [(f"http://h{i % 3}.test/p/{i}", i * 7, f"h{i % 3}.test", i % 3,
+          1.0, 1, 0) for i in range(30)],
+        FRONTIER_SCHEMA,
+    )
+    sel = old.filter("url_hash % 2 = 0")
+    surv = _surviving_frontier(old, sel)
+    analyzed = surv._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed, analyzed
+    got = sorted(r.url_canon for r in surv.collect())
+    want = sorted(r.url_canon for r in old.filter("url_hash % 2 = 1").collect())
+    assert got == want
+
+
+def test_table_format_seam_contract(spark, tmp_path, oracle_state):
+    """Inject a counting TableFormat through run_crawl and prove the epoch
+    loop touches table storage ONLY via the seam: every parquet dir that
+    exists on disk afterwards was written through the injected format, all
+    reads went through it too, and the crawl result is unchanged.  The
+    JSON epoch manifest is the engine's own commit marker — an engine
+    concept, not table storage — and is exactly the non-parquet residue."""
+    import os
+
+    from mlscraper_spark.tables import ParquetSnapshotFormat, use_table_format
+
+    class CountingFormat(ParquetSnapshotFormat):
+        def __init__(self):
+            self.writes: list[str] = []
+            self.reads: list[str] = []
+
+        def write(self, df, path, mode="overwrite"):
+            self.writes.append(path)
+            super().write(df, path, mode)
+
+        def read(self, spark_, paths, schema=None):
+            self.reads.extend(paths)
+            return super().read(spark_, paths, schema)
+
+    root = str(tmp_path / "seam")
+    fake = CountingFormat()
+    with use_table_format(fake):
+        run_crawl(spark, root, SEEDS, WEB, CrawlConfig(budget_per_host=BUDGET),
+                  max_epochs=EPOCHS)
+        log = read_fetch_log(spark, root)
+        got = [
+            (r.epoch, r.seq, r.url_canon)
+            for r in log.orderBy("epoch", "seq").collect()
+        ]
+    assert got == [(r["epoch"], r["seq"], r["url_canon"])
+                   for r in oracle_state.fetch_log]
+    assert fake.writes and fake.reads
+    # every on-disk table dir under the root was written via the seam;
+    # the only files not inside a seam-written dir are the manifests
+    written = {os.path.normpath(p) for p in fake.writes}
+    on_disk_tables = set()
+    stray = []
+    for base, dirs, files in os.walk(root):
+        norm = os.path.normpath(base)
+        if norm in written:
+            on_disk_tables.add(norm)
+            dirs.clear()  # parquet internals belong to the format
+            continue
+        for f in files:
+            stray.append(os.path.join(base, f))
+    assert on_disk_tables == {p for p in written if os.path.isdir(p)}
+    assert all(os.path.basename(p) == "_manifest.json" for p in stray), stray
+
+
+def test_streaming_sources_honor_table_format_seam(spark, tmp_path):
+    """streaming/pipeline.py's sources must build through the injected
+    TableFormat's read_stream, not a hardcoded readStream.parquet."""
+    from mlscraper_spark.streaming.pipeline import EVENTS_SCHEMA, stream_events
+    from mlscraper_spark.tables import ParquetSnapshotFormat, use_table_format
+
+    calls = []
+
+    class RecordingFormat(ParquetSnapshotFormat):
+        def read_stream(self, spark_, path, schema=None,
+                        max_files_per_trigger=None):
+            calls.append((path, schema, max_files_per_trigger))
+            return super().read_stream(spark_, path, schema,
+                                       max_files_per_trigger)
+
+    events_dir = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, None, 2, "a", 1.0, "{}")], EVENTS_SCHEMA
+    ).write.parquet(events_dir)
+    with use_table_format(RecordingFormat()):
+        df = stream_events(spark, events_dir)
+    assert df.isStreaming
+    assert calls == [(events_dir, EVENTS_SCHEMA, 4)]
