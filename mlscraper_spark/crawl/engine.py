@@ -289,8 +289,15 @@ def _write_frontier(fmt: TableFormat, df: DataFrame, snap: str,
 def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
                cfg: CrawlConfig) -> None:
     """Write the epoch=-1 snapshot: seeded frontier, empty everything else."""
+    import time as _time
+
+    _t = _time.time()
     fmt = get_table_format(spark)
-    raw = spark.createDataFrame([(s,) for s in seeds], "raw string")
+    # Arrow path (one pandas column), not createDataFrame(list-of-tuples):
+    # row-by-row conversion serializes the whole seed list on the DRIVER —
+    # a cores-independent cost that at ladder widths (300k-1.2M seeds)
+    # dominates the seed snapshot and drags the N-vs-4N efficiency ratio
+    raw = spark.createDataFrame(pd.DataFrame({"raw": seeds}))
     # cache: the canonicalized seed set feeds BOTH the robots host scan and
     # the frontier build — uncached, the canonicalize UDF pipeline re-runs
     # for every consumer (measured 3× on the seed path)
@@ -317,6 +324,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     buckets = sorted(
         r.host_bucket for r in frontier.select("host_bucket").distinct().collect()
     )
+    _t = _trace("seed-plan", _t)
 
     d = _snap_dir(root, -1)
     # independent tables written concurrently, same pattern as the epoch
@@ -341,6 +349,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     frontier.unpersist()
     c.unpersist()
     robots.unpersist()
+    _t = _trace("seed-writes", _t)
     with open(_manifest_path(root, -1), "w") as f:
         json.dump(
             {
