@@ -234,19 +234,6 @@ _IDENTITY_COLS = (
 )
 
 
-def _merge_by_url(df: DataFrame) -> DataFrame:
-    """The oracle's frontier merge rule (MIN depth, MIN discovered_epoch
-    per URL) — associative and commutative, so any partitioning yields
-    the oracle's result."""
-    return df.groupBy("url_canon").agg(
-        F.first("url_hash").alias("url_hash"),
-        F.first("host").alias("host"),
-        F.first("host_bucket").alias("host_bucket"),
-        F.min("depth").alias("depth"),
-        F.min("discovered_epoch").alias("discovered_epoch"),
-    )
-
-
 def _collect_fingerprints(filters_df: DataFrame) -> dict:
     return {
         str(r.host_bucket): r.fingerprint
@@ -534,7 +521,11 @@ def _assign_global_seq(spark: SparkSession, df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _fetch_udf(web: WebConfig):
+def _fetch_udf(web: WebConfig, fetch_adapter=None):
+    """Arrow fetch stage.  ``fetch_adapter`` (crawl/fetchers.FetchAdapter)
+    makes the transport injectable — the synthetic web by default, an
+    HttpFetchAdapter for real deployments — without touching the epoch
+    loop; the adapter is pickled into the python workers."""
     out_schema = T.StructType(
         [
             T.StructField("url_canon", T.StringType()),
@@ -551,17 +542,18 @@ def _fetch_udf(web: WebConfig):
     )
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mlscraper_spark.crawl.synthweb import fetch, response_meta
+        from mlscraper_spark.crawl.fetchers import SynthWebAdapter
         from mlscraper_spark.crawl.urlnorm import content_fp
 
+        adapter = fetch_adapter or SynthWebAdapter(web)
         for pdf in batches:
             rows = []
             for url, host, hb, seq, depth in zip(
                 pdf["url_canon"], pdf["host"], pdf["host_bucket"], pdf["seq"],
                 pdf["depth"],
             ):
-                status, html = fetch(url, web)
-                links, n_images = response_meta(url, status, html, web)
+                status, html = adapter.fetch(url)
+                links, n_images = adapter.response_meta(url, status, html)
                 # content fingerprint of successful pages: the same page
                 # served under different canonical URLs (query-string
                 # mirrors) hashes identically, which is what crawl-time
@@ -621,22 +613,48 @@ def _fuse_frames(cand_dtypes: list, cpdf: pd.DataFrame, maybe_seen,
     return pd.concat([frow, out], ignore_index=True)
 
 
-def _surviving_frontier(old_dirty: DataFrame, selected: DataFrame) -> DataFrame:
-    """Previous-epoch frontier rows (dirty buckets only) that were NOT
-    fetched this epoch.  Deliberately NO broadcast hint: ``selected`` is
-    epoch-width (budget × active hosts — millions of URL strings at the
-    production widths this engine targets), so forcing a broadcast would
-    blow driver/broadcast memory exactly when the engine matters.  The
-    strategy is left to the optimizer/AQE, which still broadcasts
-    genuinely small fetch sets at test scale and falls back to a shuffled
-    anti-join otherwise; keying on (host_bucket, url_canon) — equivalent,
-    since url_canon determines host_bucket — keeps that shuffle aligned
-    with the engine's bucket partitioning.  Pinned hint-free by
-    test_crawl.py::test_delta_merge_has_no_broadcast_hint."""
-    return old_dirty.join(
-        selected.select("host_bucket", "url_canon"),
-        ["host_bucket", "url_canon"],
-        "left_anti",
+def _merge_frontier_delta(old_dirty: DataFrame, vetted: DataFrame,
+                          selected: DataFrame) -> DataFrame:
+    """Next-frontier content for the dirty buckets in ONE hash
+    aggregation: the oracle's per-URL merge rule (MIN depth, MIN
+    discovered_epoch over surviving old rows ∪ vetted discoveries) fused
+    with the removal of this epoch's fetched URLs.
+
+    ``selected`` rows enter the union as kill markers (null identity
+    columns, ``_fetched=1``); any group containing a marker is dropped.
+    Equivalent to the previous anti-join-then-merge, but with no join and
+    ONE Exchange (the aggregation's own, on url_canon) instead of a join
+    exchange followed by the merge's groupBy exchange — and with no
+    broadcast of the epoch-width fetch set anywhere, so the plan is the
+    same at any cluster size (pinned by
+    test_crawl.py::test_delta_merge_single_exchange_no_join).
+
+    Correct because url_hash/host/host_bucket are pure functions of
+    url_canon (any non-null FIRST is exact), vetted never contains a
+    fetched URL (the seen-check already excludes this epoch's
+    seen_delta), and MIN/MAX are union-order-insensitive."""
+    rows = (
+        old_dirty.select(*_IDENTITY_COLS).withColumn("_fetched", F.lit(0))
+        .unionByName(
+            vetted.select(*_IDENTITY_COLS).withColumn("_fetched", F.lit(0))
+        )
+        .unionByName(
+            selected.select("url_canon").withColumn("_fetched", F.lit(1)),
+            allowMissingColumns=True,
+        )
+    )
+    return (
+        rows.groupBy("url_canon")
+        .agg(
+            F.first("url_hash", ignorenulls=True).alias("url_hash"),
+            F.first("host", ignorenulls=True).alias("host"),
+            F.first("host_bucket", ignorenulls=True).alias("host_bucket"),
+            F.min("depth").alias("depth"),
+            F.min("discovered_epoch").alias("discovered_epoch"),
+            F.max("_fetched").alias("_fetched"),
+        )
+        .filter(F.col("_fetched") == 0)
+        .drop("_fetched")
     )
 
 
@@ -800,7 +818,7 @@ def _trace(label: str, t0: float) -> float:
 
 
 def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
-              cfg: CrawlConfig) -> int:
+              cfg: CrawlConfig, fetch_adapter=None) -> int:
     """Run one BSP epoch; returns number of URLs fetched."""
     import time as _time
 
@@ -836,6 +854,7 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
         return _run_epoch_body(
             spark, root, epoch, web, cfg, refs, robots, filters,
             url_seen, host_tokens, selected, n_selected, _caches, _t, fmt,
+            fetch_adapter,
         )
     finally:
         for df_ in _caches:
@@ -844,9 +863,9 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
 
 def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
                     url_seen, host_tokens, selected, n_selected, _caches,
-                    _t, fmt):
+                    _t, fmt, fetch_adapter=None):
     # ---- fetch + parse (S4, Arrow-batched, spread by url_hash) ---------
-    fetch_fn, fetch_schema = _fetch_udf(web)
+    fetch_fn, fetch_schema = _fetch_udf(web, fetch_adapter)
     # 4 waves per core, capped by config, FLOORED so no task fetches more
     # than ~50k URLs — the maxPartitionBytes-style bound for the fetch
     # stage: a few-core cluster at a multi-million-URL epoch otherwise
@@ -952,13 +971,8 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     _t = _trace("plan-delta", _t)
 
     old_dirty = read_frontier(spark, root, epoch - 1, buckets=dirty)
-    surviving = _surviving_frontier(old_dirty, selected)
     frontier_dirty = (
-        _merge_by_url(
-            surviving.select(*_IDENTITY_COLS).unionByName(
-                vetted.select(*_IDENTITY_COLS)
-            )
-        )
+        _merge_frontier_delta(old_dirty, vetted, selected)
         .withColumn("priority", _priority_col())
         .select(
             "url_canon", "url_hash", "host", "host_bucket", "priority",
@@ -1077,7 +1091,8 @@ def _write_empty_epoch(spark, root, epoch, refs, robots, filters,
 def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
               cfg: CrawlConfig, max_epochs: int,
               scraper_plan: dict | None = None,
-              emit_images: bool = False) -> None:
+              emit_images: bool = False,
+              fetch_adapter=None) -> None:
     """Run (or resume) a crawl up to max_epochs.  Resume is automatic: the
     loop starts after the last complete snapshot, so a killed run continues
     exactly where it stopped (tested identical to an uninterrupted run).
@@ -1115,7 +1130,7 @@ def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
                 _run_payload_stages(spark, root, e, web, scraper_plan,
                                     emit_images)
     for epoch in range(last + 1, max_epochs):
-        n = run_epoch(spark, root, epoch, web, cfg)
+        n = run_epoch(spark, root, epoch, web, cfg, fetch_adapter)
         if n == 0:
             break
         if n and (scraper_plan or emit_images):

@@ -40,7 +40,7 @@ class WebConfig:
     max_pages_per_host: int = 40
     links_per_page: int = 3
     images_per_page: int = 2
-    alias_every: int = 0  # >0 enables redirect aliases: roughly 1-in-5
+    enable_aliases: bool = False  # redirect aliases: roughly 1-in-5
     # links point at /old/{j}, which 301-redirects to /page/{j} (the
     # moved-permanently shape real crawls hit constantly).  0 = off, and
     # every link/page is byte-identical to the pre-redirect web, so
@@ -95,7 +95,7 @@ def links_for(i: int, j: int, cfg: WebConfig) -> list[str]:
     for k in range(cfg.links_per_page):
         h = _h("link", i, j, k)
         kind = h % 4
-        if cfg.alias_every and h % 5 == 4:  # stale bookmark → 301 alias
+        if cfg.enable_aliases and h % 5 == 4:  # stale bookmark → 301 alias
             links.append(f"http://{cfg.host_name(i)}/old/{(h >> 8) % n_pages}")
         elif kind == 0:  # same-host, canonical
             links.append(f"http://{cfg.host_name(i)}/page/{(j + 1 + h % n_pages) % n_pages}")
@@ -145,7 +145,7 @@ def parse_page_url(url_canon: str, cfg: WebConfig):
 def redirect_of(url_canon: str, cfg: WebConfig) -> str | None:
     """Canonical target when the URL is a 301 alias (/old/{j} →
     /page/{j}), else None.  Pure function of the URL, like fetch."""
-    if not cfg.alias_every:
+    if not cfg.enable_aliases:
         return None
     parts = urlsplit(url_canon)
     host = parts.hostname or ""
@@ -176,6 +176,13 @@ def redirect_of(url_canon: str, cfg: WebConfig) -> str | None:
 # captured value, so on the crawl corpus it returns EXACTLY what the
 # parse-based extract_links returns — pinned by
 # tests/test_crawl.py::test_link_scanner_matches_parser.
+# Matches double-quoted hrefs only, decoding utf-8-with-replace: correct
+# for synthweb-generated HTML (make_page always emits href="..."), and
+# pinned equal to the full DOM parser by test_link_scanner_matches_parser.
+# response_meta's callers (engine fetch UDF + sequential oracle) only ever
+# feed it synthweb pages; HTML from any other producer must go through the
+# DOM parser instead — single-quoted/unquoted hrefs would be silently
+# dropped here.
 _HREF_RE = re.compile(rb'<a\s[^>]*?href\s*=\s*"([^"]*)"', re.IGNORECASE | re.DOTALL)
 _IMG_RE = re.compile(rb"<img[\s/>]", re.IGNORECASE)
 

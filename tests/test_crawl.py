@@ -240,7 +240,7 @@ def test_link_scanner_matches_parser():
         response_meta,
     )
 
-    web = WebConfig(n_hosts=10, max_pages_per_host=30, alias_every=1)
+    web = WebConfig(n_hosts=10, max_pages_per_host=30, enable_aliases=True)
     n_pages_checked = 0
     for i in range(web.n_hosts):
         for j in range(web.n_pages(i)):
@@ -260,8 +260,9 @@ def test_link_scanner_matches_parser():
 
 def test_content_fingerprint_and_dedup_match_oracle(spark, tmp_path,
                                                     oracle_state):
-    """fetch_log carries a page_fp content fingerprint (xxhash64 of the
-    200-response body, NULL otherwise); the engine's fingerprints equal
+    """fetch_log carries a page_fp content fingerprint (md5-derived 64-bit
+    hash of the 200-response body — urlnorm.content_fp — NULL otherwise);
+    the engine's fingerprints equal
     the oracle's row-for-row, and content_dup_groups finds exactly the
     URL groups that served byte-identical pages (the synthetic web's
     query-string mirrors guarantee at least one)."""
@@ -323,12 +324,12 @@ def test_trap_guards_match_oracle(spark, tmp_path):
 
 
 def test_redirects_match_oracle(spark, tmp_path):
-    """301 redirect aliases (WebConfig.alias_every): stale /old/{j} links
+    """301 redirect aliases (WebConfig.enable_aliases): stale /old/{j} links
     301 to /page/{j}; the target flows through the ordinary discovery
     pipeline at depth+1.  Engine == oracle bit-for-bit and redirects are
     actually exercised (some 301 rows land in the fetch log, each
     contributing exactly its Location as one outgoing link)."""
-    web = WebConfig(n_hosts=8, max_pages_per_host=20, alias_every=1)
+    web = WebConfig(n_hosts=8, max_pages_per_host=20, enable_aliases=True)
     seeds = web.seeds(4)
     want = crawl_oracle(seeds, web, budget_per_host=2, max_epochs=5)
     n301 = sum(1 for r in want.fetch_log if r["status"] == 301)
@@ -512,25 +513,43 @@ def test_fuse_frames_warning_free():
     assert list(empty["kind"]) == ["f"] and empty["blob"].iloc[0] == b"\x00blob"
 
 
-def test_delta_merge_has_no_broadcast_hint(spark):
-    """The frontier/fetch-set anti-join must not force a broadcast:
-    ``selected`` is epoch-width (millions of URLs in production), so the
-    strategy belongs to the optimizer/AQE.  Pins engine._surviving_frontier
-    hint-free, and its semantics (old-frontier rows minus fetched)."""
-    from mlscraper_spark.crawl.engine import FRONTIER_SCHEMA, _surviving_frontier
+def test_delta_merge_single_exchange_no_join(spark):
+    """The frontier delta merge must be ONE hash aggregation: no join (so
+    no broadcast of the epoch-width fetch set, no extra join exchange)
+    and exactly one Exchange — the groupBy(url_canon)'s own.  Also pins
+    the fused semantics: fetched URLs dropped, rediscovered URLs merged
+    at MIN depth / MIN discovered_epoch."""
+    from mlscraper_spark.crawl.engine import (
+        FRONTIER_SCHEMA,
+        _IDENTITY_COLS,
+        _merge_frontier_delta,
+    )
 
     old = spark.createDataFrame(
         [(f"http://h{i % 3}.test/p/{i}", i * 7, f"h{i % 3}.test", i % 3,
-          1.0, 1, 0) for i in range(30)],
+          1.0, 2, 1) for i in range(30)],
         FRONTIER_SCHEMA,
     )
     sel = old.filter("url_hash % 2 = 0")
-    surv = _surviving_frontier(old, sel)
-    analyzed = surv._jdf.queryExecution().analyzed().toString()
-    assert "Hint" not in analyzed, analyzed
-    got = sorted(r.url_canon for r in surv.collect())
-    want = sorted(r.url_canon for r in old.filter("url_hash % 2 = 1").collect())
-    assert got == want
+    # rediscover one surviving URL at a deeper depth and one brand-new URL
+    vetted = spark.createDataFrame(
+        [("http://h1.test/p/7", 49, "h1.test", 1, 5, 2),
+         ("http://h9.test/new", 999, "h9.test", 0, 3, 2)],
+        ", ".join(f"{c} {t}" for c, t in zip(
+            _IDENTITY_COLS,
+            ["string", "long", "string", "int", "int", "int"])),
+    )
+    merged = _merge_frontier_delta(old, vetted, sel)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    rows = {r.url_canon: r for r in merged.collect()}
+    want_surviving = {r.url_canon for r in old.filter("url_hash % 2 = 1").collect()}
+    assert set(rows) == want_surviving | {"http://h9.test/new"}
+    # rediscovery of a surviving URL keeps MIN depth / MIN discovered_epoch
+    assert rows["http://h1.test/p/7"].depth == 2
+    assert rows["http://h1.test/p/7"].discovered_epoch == 1
+    assert rows["http://h9.test/new"].depth == 3
 
 
 def test_table_format_seam_contract(spark, tmp_path, oracle_state):
@@ -610,3 +629,71 @@ def test_streaming_sources_honor_table_format_seam(spark, tmp_path):
         df = stream_events(spark, events_dir)
     assert df.isStreaming
     assert calls == [(events_dir, EVENTS_SCHEMA, 4)]
+
+
+def test_http_fetch_adapter_contract():
+    """HttpFetchAdapter: injected-opener GET, HTTPError → status rows,
+    transport failure → 599, DOM-parser link extraction (quote styles the
+    synthweb regex fast path deliberately rejects)."""
+    import io
+    import urllib.error
+
+    from mlscraper_spark.crawl.fetchers import (
+        HttpFetchAdapter,
+        parse_links_and_images,
+    )
+
+    html = (b"<html><body><a href='/single'>s</a>"
+            b'<a href="/double">d</a><a href=bare>b</a>'
+            b"<img src='x.png'><img src=y.png></body></html>")
+
+    class FakeResponse(io.BytesIO):
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def opener(req, timeout):
+        assert req.get_header("User-agent") == "mlscraper-spark/0.1"
+        url = req.full_url
+        if url.endswith("/404"):
+            raise urllib.error.HTTPError(url, 404, "nf", {}, None)
+        if url.endswith("/dead"):
+            raise OSError("connection refused")
+        return FakeResponse(html)
+
+    a = HttpFetchAdapter(opener=opener)
+    status, body = a.fetch("http://x.test/ok")
+    assert (status, body) == (200, html)
+    assert a.fetch("http://x.test/404") == (404, b"")
+    assert a.fetch("http://x.test/dead") == (599, b"")
+    links, n_img = a.response_meta("http://x.test/ok", 200, body)
+    assert links == ["/single", "/double", "bare"] and n_img == 2
+    assert a.response_meta("http://x.test/404", 404, b"") == ([], 0)
+    # garbage never raises
+    assert parse_links_and_images(b"\x00\xffnot html") == ([], 0)
+
+
+def test_fetch_adapter_injected_through_crawl(spark, tmp_path, oracle_state):
+    """run_crawl(fetch_adapter=...) must route every fetch through the
+    adapter and reproduce the oracle exactly when the adapter wraps the
+    same synthetic web (the deploy path: swap transport, keep the loop)."""
+    from mlscraper_spark.crawl.fetchers import SynthWebAdapter
+
+    class CountingAdapter(SynthWebAdapter):
+        def fetch(self, url):  # noqa: D102 — test shim
+            return super().fetch(url)
+
+    root = str(tmp_path / "adapter")
+    run_crawl(spark, root, SEEDS, WEB, CrawlConfig(budget_per_host=BUDGET),
+              max_epochs=2, fetch_adapter=CountingAdapter(WEB))
+    got = [
+        (r.epoch, r.seq, r.url_canon)
+        for r in read_fetch_log(spark, root).orderBy("epoch", "seq").collect()
+    ]
+    want = [(r["epoch"], r["seq"], r["url_canon"])
+            for r in oracle_state.fetch_log if r["epoch"] < 2]
+    assert got == want
