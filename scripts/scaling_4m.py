@@ -31,6 +31,19 @@ def _loadavg() -> str:
         return f.read().split()[0]
 
 
+def _cooldown(threshold: float = 1.5, max_wait: int = 360) -> None:
+    """Sleep until the 1-minute loadavg decays below ``threshold`` (or
+    ``max_wait`` s elapse).  Interleaved legs otherwise start while the
+    1-minute average still carries the PREVIOUS leg's load, which makes a
+    clean leg look confounded in the record (round-2 verdict discounted a
+    ladder for exactly this); the cooldown makes every leg's
+    loadavg_before a true statement about external load."""
+    waited = 0
+    while float(_loadavg()) >= threshold and waited < max_wait:
+        time.sleep(15)
+        waited += 15
+
+
 def run_leg(cores: int, tag: str) -> dict:
     from bench import _warm_python_workers
 
@@ -38,6 +51,7 @@ def run_leg(cores: int, tag: str) -> dict:
     from mlscraper_spark.crawl.synthweb import WebConfig
     from mlscraper_spark.session import get_spark
 
+    _cooldown()
     load_before = _loadavg()
     spark = get_spark(f"scaling4m-{tag}", master=f"local[{cores}]",
                       shuffle_partitions=32)
