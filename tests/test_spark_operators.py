@@ -171,3 +171,30 @@ def test_dedup_clusters_empty_and_long_chain(spark):
     assert all(r.cluster_id == 0 for r in rows)
     assert sorted(r.doc_id for r in rows) == list(range(12))
     assert [r.doc_id for r in rows if r.is_survivor] == [0]
+
+
+def test_query_registry_caches_released_between_queries(spark):
+    """The driver's parity runner executes the whole registry in ONE
+    session; each queries() entry must release the previous query's
+    scoped caches so executor storage memory stays bounded at one
+    query's working set (round-2 finding: leaked shingle caches)."""
+    import time
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    # q19 caches its shingle scan; materialize it
+    qs["q19_minhash_lsh_pairs"](spark, sf).count()
+    assert spark.sparkContext._jsc.sc().getRDDStorageInfo(), (
+        "expected q19 to populate the cache"
+    )
+    # entering any other query releases q19's caches (unpersist is async)
+    qs["q15_token_count"](spark, sf).count()
+    for _ in range(40):
+        if not spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            break
+        time.sleep(0.25)
+    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo(), (
+        "previous query's scoped caches were not released"
+    )
