@@ -46,6 +46,7 @@ def main():
     names = names.split(",") if names else HEADLINE
     master = os.environ.get("BENCH_MASTER")
 
+    from mlscraper_spark.caches import release_caches
     from mlscraper_spark.queries import QUERIES
     from mlscraper_spark.session import get_spark
 
@@ -68,7 +69,10 @@ def main():
             # both legs run cold: queries that .cache() internally would
             # otherwise hand leg 2 a warm cache (CacheManager matches
             # identical plans), which would measure something different
-            # from round 1's single cold run
+            # from round 1's single cold run; release_caches additionally
+            # drops handles clearCache can't reach (localCheckpoint blocks)
+            # and empties the scoped registry
+            release_caches()
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)

@@ -284,7 +284,9 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     # row-by-row conversion serializes the whole seed list on the DRIVER —
     # a cores-independent cost that at ladder widths (300k-1.2M seeds)
     # dominates the seed snapshot and drags the N-vs-4N efficiency ratio
-    raw = spark.createDataFrame(pd.DataFrame({"raw": seeds}))
+    # explicit schema: an empty seed list otherwise breaks inference
+    # (pandas object column with no rows → "can not infer schema")
+    raw = spark.createDataFrame(pd.DataFrame({"raw": seeds}), schema="raw string")
     # cache: the canonicalized seed set feeds BOTH the robots host scan and
     # the frontier build — uncached, the canonicalize UDF pipeline re-runs
     # for every consumer (measured 3× on the seed path)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mlscraper_spark import caches
+
 
 def fingerprint_neardup(df: DataFrame, id_col: str, fp_col: str, *,
                         n_bits: int = 64, n_bands: int = 4,
@@ -100,48 +102,85 @@ def dedup_clusters(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
     rounds merely formatting the plan OOMs the driver; eager lineage
     truncation keeps the plan O(1) per round (on a production cluster
     with executor churn, point ``spark.sparkContext.setCheckpointDir`` at
-    durable storage and swap in ``.checkpoint()``)."""
-    edges = (
+    durable storage and swap in ``.checkpoint()``).
+
+    Storage is bounded at TWO rounds' worth of label blocks, not
+    O(rounds): each superseded round's checkpoint blocks are unpersisted
+    as soon as the next round has materialized and the convergence count
+    has read them (nothing references them after that — checkpointed
+    lineage is truncated, so the new round never recomputes through the
+    old one), and ``edges`` is dropped on return.  The FINAL round's
+    blocks must outlive this function (the caller consumes the returned
+    frame), so they are registered with ``caches.register`` and freed at
+    the next ``caches.release_caches()`` — the round-3 leak was exactly
+    these handles accumulating un-releasably across the parity run."""
+    edges, edges_h = _eager_local_checkpoint(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels, labels_h = _eager_local_checkpoint(
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("lab", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iters):
         prop = edges.join(labels, edges["a"] == labels["doc_id"]).select(
             F.col("b").alias("doc_id"), "lab"
         )
-        new = (
+        new, new_h = _eager_local_checkpoint(
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new.join(labels.withColumnRenamed("lab", "old"), "doc_id")
             .filter(F.col("lab") < F.col("old"))
             .count()
         )
-        labels = new
+        _unpersist_handles(labels_h)  # superseded round — drop its blocks
+        labels, labels_h = new, new_h
         if changed == 0:
             converged = True
             break
+    _unpersist_handles(edges_h)
     if not converged:
+        _unpersist_handles(labels_h)
         # min-label can only ever decrease, so non-convergence means the
         # diameter beats max_iters — surface it, never return wrong labels
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds; "
             "raise max_iters or switch the loop body to large-star/small-star"
         )
+    for h in labels_h:
+        caches.register(h)
     return labels.select(
         "doc_id",
         F.col("lab").alias("cluster_id"),
         (F.col("doc_id") == F.col("lab")).alias("is_survivor"),
     )
+
+
+def _eager_local_checkpoint(df: DataFrame):
+    """``df.localCheckpoint(eager=True)`` plus release handles for the
+    blocks it pins.
+
+    ``localCheckpoint`` persists the physical RDD internally;
+    ``DataFrame.unpersist()`` on the result cannot reach it (it only drops
+    plan-level caches), so the blocks are otherwise unreleasable for the
+    session's life.  The persisted RDD is captured by diffing the
+    context's persistent-RDD registry around the call — single-threaded
+    driver, so the diff is exactly this checkpoint's RDD(s) — and the
+    returned py4j ``JavaRDD`` handles free the blocks via
+    ``.unpersist()``."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+    out = df.localCheckpoint(eager=True)
+    snap = dict(jsc.getPersistentRDDs())
+    return out, [rdd for rid, rdd in snap.items() if rid not in before]
+
+
+def _unpersist_handles(handles) -> None:
+    for h in handles:
+        h.unpersist()

@@ -30,33 +30,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_SCOPED_CACHES: list[DataFrame] = []
-
-
-def _scoped_cache(df: DataFrame) -> DataFrame:
-    """``cache()`` whose lifetime is one registry query.
-
-    ``release_caches()`` — called at every query entry via the
-    ``__spark_entry__`` wrapper and by bench.py between legs — unpersists
-    whatever a previous query left cached, so a sequential N-query session
-    (the driver's parity runner executes all of them in ONE SparkSession)
-    holds at most one query's worth of executor storage memory instead of
-    accumulating leaked shingle/assignment caches."""
-    df = df.cache()
-    _SCOPED_CACHES.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every cache a previous registry query created (no-op when
-    none).  Safe to call while a released plan is still lazy: Spark just
-    recomputes the subtree if it is re-executed later."""
-    while _SCOPED_CACHES:
-        df = _SCOPED_CACHES.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+# Storage scoping lives in mlscraper_spark.caches (shared with the
+# iterative operators, whose localCheckpoint blocks must honor the same
+# release contract); re-exported here because __spark_entry__, bench.py and
+# the tests address it through the query-registry module.
+from mlscraper_spark.caches import release_caches  # noqa: F401
+from mlscraper_spark.caches import scoped_cache as _scoped_cache  # noqa: F401
 
 
 

@@ -35,9 +35,19 @@ class TableFormat:
 
     def read_stream(self, spark: SparkSession, path: str, schema=None,
                     max_files_per_trigger: int | None = None) -> DataFrame:
-        """Structured-streaming source over one table path/glob (the
+        """Structured-streaming source over one table path or glob (the
         append-only tables stream naturally: new epoch deltas appear as
-        new commits/files and flow through incrementally)."""
+        new commits/files and flow through incrementally).
+
+        Glob contract (the batch ``read`` takes an explicit path list and
+        never sees globs, so this is the one place it matters): the
+        parquet variant hands the glob to the file-stream source, which
+        re-lists it every micro-batch — snapshot dirs created AFTER the
+        stream starts are picked up.  Iceberg's ``load`` does not expand
+        globs, so that variant expands the glob ONCE at stream start and
+        unions the per-table streams; late-created tables are not picked
+        up (moot in a real Iceberg deployment, where an append-only table
+        is ONE Iceberg table and new epochs are new commits to it)."""
         raise NotImplementedError
 
     def exists(self, spark: SparkSession, path: str) -> bool:
@@ -107,17 +117,46 @@ class IcebergSnapshotFormat(TableFormat):
     def read_stream(self, spark: SparkSession, path: str, schema=None,
                     max_files_per_trigger: int | None = None) -> DataFrame:
         # Iceberg's incremental streaming source; schema comes from the
-        # table, rate limiting from streaming options
-        reader = spark.readStream.format("iceberg")
-        if max_files_per_trigger is not None:
-            reader = reader.option("streaming-max-files-per-micro-batch",
-                                   max_files_per_trigger)
-        return reader.load(path)
+        # table, rate limiting from streaming options.  load() does not
+        # expand globs, so expand here and union (see the base-class
+        # glob contract — expansion is once-at-start by necessity).
+        def _one(p: str) -> DataFrame:
+            reader = spark.readStream.format("iceberg")
+            if max_files_per_trigger is not None:
+                reader = reader.option(
+                    "streaming-max-files-per-micro-batch",
+                    max_files_per_trigger)
+            return reader.load(p)
+
+        paths = expand_glob(spark, path)
+        if not paths:
+            raise FileNotFoundError(f"no Iceberg tables match {path!r}")
+        out = _one(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(_one(p))
+        return out
 
     def is_complete(self, spark: SparkSession, path: str) -> bool:
         # Iceberg writes are atomic at the snapshot level: a loadable
         # table IS a committed table
         return self.exists(spark, path)
+
+
+def expand_glob(spark: SparkSession, path: str) -> list[str]:
+    """Expand a path glob through the Hadoop filesystem API (works for any
+    scheme Spark can read, not just ``file:``).  A non-glob path passes
+    through verbatim — existence is the reader's problem, same as
+    ``spark.read``'s.  Sorted for deterministic union order."""
+    if not any(c in path for c in "*?[{"):
+        return [path]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    statuses = fs.globStatus(hpath)
+    if statuses is None:
+        return []
+    return sorted(str(s.getPath()) for s in statuses)
 
 
 def iceberg_available(spark: SparkSession) -> bool:

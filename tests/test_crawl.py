@@ -631,6 +631,24 @@ def test_streaming_sources_honor_table_format_seam(spark, tmp_path):
     assert calls == [(events_dir, EVENTS_SCHEMA, 4)]
 
 
+def test_expand_glob_matches_snapshot_layout(spark, tmp_path):
+    """The Iceberg read_stream variant expands globs via Hadoop globStatus
+    (load() cannot); the helper must hit exactly the snap_*/fetch_log dirs
+    the parquet glob would, sorted, and pass non-globs through verbatim."""
+    import os
+
+    from mlscraper_spark.tables import expand_glob
+
+    for e in (2, 0, 1):
+        os.makedirs(tmp_path / f"snap_{e:06d}" / "fetch_log")
+    (tmp_path / "snap_000001" / "url_seen").mkdir()
+    got = expand_glob(spark, str(tmp_path / "snap_*" / "fetch_log"))
+    assert [os.path.basename(os.path.dirname(p.replace("file:", "")))
+            for p in got] == ["snap_000000", "snap_000001", "snap_000002"]
+    assert expand_glob(spark, "/no/glob/here") == ["/no/glob/here"]
+    assert expand_glob(spark, str(tmp_path / "nothing_*")) == []
+
+
 def test_http_fetch_adapter_contract():
     """HttpFetchAdapter: injected-opener GET, HTTPError → status rows,
     transport failure → 599, DOM-parser link extraction (quote styles the
