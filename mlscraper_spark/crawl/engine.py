@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mlscraper_spark.crawl.fetchers import SynthWebAdapter
 from mlscraper_spark.crawl.synthweb import WebConfig
 from mlscraper_spark.tables import TableFormat, get_table_format
 
@@ -274,11 +275,14 @@ def _write_frontier(fmt: TableFormat, df: DataFrame, snap: str,
 
 
 def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
-               cfg: CrawlConfig) -> None:
-    """Write the epoch=-1 snapshot: seeded frontier, empty everything else."""
+               cfg: CrawlConfig, fetch_adapter=None) -> None:
+    """Write the epoch=-1 snapshot: seeded frontier, empty everything else.
+    ``fetch_adapter`` supplies robots resolution for the seed hosts (same
+    seam as the epoch loop's fetch stage)."""
     import time as _time
 
     _t = _time.time()
+    adapter = fetch_adapter or SynthWebAdapter(web)
     fmt = get_table_format(spark)
     # Arrow path (one pandas column), not createDataFrame(list-of-tuples):
     # row-by-row conversion serializes the whole seed list on the DRIVER —
@@ -305,7 +309,8 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     frontier = _trap_filter(frontier, cfg)  # before robots: a trapped
     # seed must not trigger a robots fetch for its host (oracle order)
     # cache: robots is broadcast into the frontier filter AND written below
-    robots = _robots_rules_df(spark, frontier.select("host").distinct(), 0, web).cache()
+    robots = _robots_rules_df(spark, frontier.select("host").distinct(), 0,
+                              adapter).cache()
     frontier = _filter_robots(frontier, robots).select(
         "url_canon", "url_hash", "host", "host_bucket",
         "priority", "depth", "discovered_epoch",
@@ -351,9 +356,15 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
 
 
 def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
-                     web: WebConfig) -> DataFrame:
-    """S6/J8 robots cache rows for the given hosts (rules are a pure
-    function of host — the 'fetch' of robots.txt in the synthetic web)."""
+                     adapter) -> DataFrame:
+    """S6/J8 robots cache rows for the given hosts.  Rules come from the
+    fetch adapter's ``robots(host)`` (crawl/fetchers.FetchAdapter) — the
+    synthetic web's pure-function rules by default, a real
+    ``GET /robots.txt`` under HttpFetchAdapter — so a deployed crawl obeys
+    the robots of the web it actually fetches from, through the same seam
+    as fetch itself.  The adapter is pickled into the python workers; one
+    robots resolution per NEW host per crawl (callers pass only
+    never-seen-before hosts)."""
 
     def _rules(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -361,7 +372,7 @@ def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
                 {
                     "host": pdf["host"],
                     "rules_json": pdf["host"].map(
-                        lambda h: json.dumps(web.robots_disallow(h))
+                        lambda h: json.dumps(adapter.robots(h))
                     ),
                     "fetched_epoch": epoch,
                 }
@@ -914,7 +925,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         spark,
         disc.select("host").join(robots.select("host"), "host", "left_anti"),
         epoch + 1,
-        web,
+        fetch_adapter or SynthWebAdapter(web),
     ).cache()
     _caches.append(robots_new)
     robots_all = robots.unionByName(robots_new)
@@ -1110,7 +1121,7 @@ def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     """
     last = last_complete_epoch(root)
     if last is None:
-        seed_crawl(spark, root, seeds, web, cfg)
+        seed_crawl(spark, root, seeds, web, cfg, fetch_adapter)
         last = -1
     if scraper_plan or emit_images:
         # backfill payload tables for already-complete epochs (a kill can

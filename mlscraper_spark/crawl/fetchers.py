@@ -6,6 +6,8 @@ never touches frontier/politeness/seen-check/snapshot logic:
 
 * ``fetch(url_canon) -> (status, body_bytes)``
 * ``response_meta(url_canon, status, body) -> (raw_hrefs, n_images)``
+* ``robots(host) -> disallow_prefixes`` — the robots.txt resolution for a
+  host (engine ``_robots_rules_df`` caches one row per host per crawl)
 
 ``SynthWebAdapter`` (the default) binds the deterministic synthetic web
 that every oracle-equivalence test pins.  ``HttpFetchAdapter`` is the
@@ -36,6 +38,11 @@ class FetchAdapter:
                       body: bytes) -> tuple[list[str], int]:
         raise NotImplementedError
 
+    def robots(self, host: str) -> list[str]:
+        """Disallow path-prefixes for the host (engine semantics: a URL is
+        blocked iff its path starts with any returned prefix)."""
+        raise NotImplementedError
+
 
 @dataclass(frozen=True)
 class SynthWebAdapter(FetchAdapter):
@@ -49,6 +56,9 @@ class SynthWebAdapter(FetchAdapter):
     def response_meta(self, url_canon: str, status: int,
                       body: bytes) -> tuple[list[str], int]:
         return response_meta(url_canon, status, body, self.web)
+
+    def robots(self, host: str) -> list[str]:
+        return self.web.robots_disallow(host)
 
 
 def parse_links_and_images(body: bytes) -> tuple[list[str], int]:
@@ -64,6 +74,58 @@ def parse_links_and_images(body: bytes) -> tuple[list[str], int]:
         elif rec.tag == "img":
             n_images += 1
     return links, n_images
+
+
+def parse_robots_txt(body: bytes, user_agent: str) -> list[str]:
+    """Disallow prefixes from a robots.txt body, REP group semantics:
+
+    * lines are ``field: value`` with ``#`` comments; unknown fields and
+      blank lines are ignored (blank lines do NOT close a group — rule
+      lines do, per RFC 9309 §2.2.1's "groups are closed by a
+      start-of-group line");
+    * a group is one or more consecutive ``User-agent`` lines followed by
+      its rules; a group applies to us when its agent token is ``*`` or a
+      case-insensitive prefix of our product token (the part of
+      ``user_agent`` before ``/``);
+    * if any SPECIFIC group matches, only specific groups apply (the RFC's
+      most-specific-match, flattened: our UA has one product token, so
+      "specific beats *" is the whole ordering);
+    * only ``Disallow`` is honored — the engine's filter is
+      prefix-disallow only (``_filter_robots``); ``Allow``/``Crawl-delay``
+      are ignored, the documented subset.  Empty Disallow = allow = no
+      rule.  Order is preserved, duplicates dropped.
+    """
+    product = user_agent.split("/")[0].strip().lower()
+    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    agents: list[str] = []
+    in_agent_run = False
+    for raw_line in body.decode("utf-8", "replace").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                agents, in_agent_run = [], True
+                groups.append((agents, []))
+            agents.append(value.lower())
+        else:
+            in_agent_run = False
+            if field == "disallow" and value and groups:
+                groups[-1][1].append(value)
+
+    def _matches(agent: str) -> bool:
+        return agent != "*" and product.startswith(agent)
+
+    specific = [g for g in groups if any(_matches(a) for a in g[0])]
+    chosen = specific or [g for g in groups if "*" in g[0]]
+    out: list[str] = []
+    for _, dis in chosen:
+        for p in dis:
+            if p not in out:
+                out.append(p)
+    return out
 
 
 class HttpFetchAdapter(FetchAdapter):
@@ -114,3 +176,16 @@ class HttpFetchAdapter(FetchAdapter):
         if status != 200:
             return [], 0
         return parse_links_and_images(body)
+
+    def robots(self, host: str) -> list[str]:
+        """GET ``http://{host}/robots.txt`` through the same transport
+        (same opener, timeout, size cap, 599-on-failure policy as
+        ``fetch``).  Any non-200 — including 599 transport failures — maps
+        to "no rules" (allow-all): a missing/unreachable robots.txt must
+        not stall the host, and a disallow-all fallback would silently
+        starve every host behind a flaky robots endpoint.  The tradeoff is
+        documented; a stricter deployment can subclass."""
+        status, body = self.fetch(f"http://{host}/robots.txt")
+        if status != 200:
+            return []
+        return parse_robots_txt(body, self.user_agent)

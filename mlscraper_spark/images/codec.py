@@ -6,12 +6,15 @@ caption, phash)`` with per-row invariants: decoded-pixel allclose
 
 * ``ppm`` — binary P6, lossless (bit-exact roundtrip);
 * ``dctq`` — lossy stand-in: 8×8 block DCT-II + uniform quantization,
-  int16-packed; quantization step chosen so PSNR ≥ 40 dB holds.
+  int16-packed; quantization step chosen so PSNR ≥ 40 dB holds;
+* ``jpeg`` — REAL baseline JFIF (images/jpeg.py): standards-compliant
+  4:4:4 sequential DCT with Annex K tables, decodable by any viewer;
+  PSNR ≥ 40 dB at the default quality (pinned in tests).
 
-Real-world formats (JPEG/PNG/video frames) need codecs not present in this
-container; ``decode`` raises ``NotImplementedError`` for them behind the
-same interface — the Spark-side plumbing (binary columns, Arrow batching,
-schema) is identical either way.
+Other real-world formats (PNG/video frames) need codecs not present in
+this container; ``decode`` raises ``NotImplementedError`` for them behind
+the same interface — the Spark-side plumbing (binary columns, Arrow
+batching, schema) is identical either way.
 
 Everything is vectorized numpy so it runs inside ``mapInPandas`` batches
 with no per-row Python beyond the loop over rows of a batch.
@@ -120,16 +123,28 @@ def decode_dctq(data: bytes) -> np.ndarray:
 # format dispatch
 # ---------------------------------------------------------------------------
 
-ENCODERS = {"ppm": encode_ppm, "dctq": encode_dctq}
-DECODERS = {"ppm": decode_ppm, "dctq": decode_dctq}
+def _encode_jpeg(img: np.ndarray) -> bytes:
+    from mlscraper_spark.images.jpeg import encode_jpeg
+
+    return encode_jpeg(img)
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    from mlscraper_spark.images.jpeg import decode_jpeg
+
+    return decode_jpeg(data)
+
+
+ENCODERS = {"ppm": encode_ppm, "dctq": encode_dctq, "jpeg": _encode_jpeg}
+DECODERS = {"ppm": decode_ppm, "dctq": decode_dctq, "jpeg": _decode_jpeg}
 LOSSLESS = {"ppm"}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt not in ENCODERS:
         raise NotImplementedError(
-            f"format {fmt!r}: real codecs (jpeg/png/...) are not available in "
-            "this environment; the Spark plumbing is format-agnostic"
+            f"format {fmt!r}: codecs beyond ppm/dctq/jpeg are not available "
+            "in this environment; the Spark plumbing is format-agnostic"
         )
     return ENCODERS[fmt](img)
 

@@ -715,3 +715,90 @@ def test_fetch_adapter_injected_through_crawl(spark, tmp_path, oracle_state):
     want = [(r["epoch"], r["seq"], r["url_canon"])
             for r in oracle_state.fetch_log if r["epoch"] < 2]
     assert got == want
+
+
+def test_robots_txt_parser():
+    """parse_robots_txt: group semantics (consecutive UA lines share
+    rules), specific-agent beats *, comments/blank lines/Allow ignored,
+    empty Disallow = no rule, duplicates dropped."""
+    from mlscraper_spark.crawl.fetchers import parse_robots_txt
+
+    body = (b"# global\n"
+            b"User-agent: *\n"
+            b"Disallow: /tmp/\n"
+            b"Allow: /tmp/ok\n"          # Allow is outside the subset
+            b"\n"
+            b"Disallow: /cgi/\n"         # blank line does NOT close group
+            b"User-agent: googlebot\n"
+            b"User-agent: mlscraper-spark\n"  # UA-run shares one group
+            b"Disallow: /private/\n"
+            b"Disallow:\n"               # empty = allow = no rule
+            b"Disallow: /private/\n"     # duplicate dropped
+            b"Crawl-delay: 10\n"
+            b"not a field line\n")
+    # our product token matches the specific group -> * group ignored
+    assert parse_robots_txt(body, "mlscraper-spark/0.1") == ["/private/"]
+    # a UA matching no specific group falls back to *
+    assert parse_robots_txt(body, "otherbot/2.0") == ["/tmp/", "/cgi/"]
+    assert parse_robots_txt(b"", "anybot/1.0") == []
+    assert parse_robots_txt(b"\xff\xfe garbage", "anybot/1.0") == []
+
+
+def test_http_fetch_adapter_robots_contract():
+    """HttpFetchAdapter.robots: GET /robots.txt through the injected
+    opener; 404 and transport failure both mean allow-all (no rules)."""
+    import io
+    import urllib.error
+
+    from mlscraper_spark.crawl.fetchers import HttpFetchAdapter
+
+    robots_body = (b"User-agent: mlscraper-spark\nDisallow: /secret/\n"
+                   b"User-agent: *\nDisallow: /\n")
+    seen_urls = []
+
+    class FakeResponse(io.BytesIO):
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def opener(req, timeout):
+        seen_urls.append(req.full_url)
+        if req.full_url == "http://rules.test/robots.txt":
+            return FakeResponse(robots_body)
+        if req.full_url == "http://missing.test/robots.txt":
+            raise urllib.error.HTTPError(req.full_url, 404, "nf", {}, None)
+        raise OSError("connection refused")
+
+    a = HttpFetchAdapter(opener=opener)
+    assert a.robots("rules.test") == ["/secret/"]  # specific group wins
+    assert a.robots("missing.test") == []          # 404 -> allow-all
+    assert a.robots("dead.test") == []             # 599 -> allow-all
+    assert seen_urls == [f"http://{h}.test/robots.txt"
+                         for h in ("rules", "missing", "dead")]
+
+
+def test_robots_routed_through_adapter(spark, tmp_path):
+    """The epoch loop resolves robots through the SAME adapter seam as
+    fetch: an adapter that disallows everything on one seeded host removes
+    that host from the crawl entirely (its seed is robots-filtered before
+    the frontier is ever written), while the other hosts crawl normally —
+    provable only if engine._robots_rules_df consults the adapter, not the
+    synthetic WebConfig."""
+    from mlscraper_spark.crawl.fetchers import SynthWebAdapter
+
+    class BlockHost1Adapter(SynthWebAdapter):
+        def robots(self, host):
+            if host == "host1.test":
+                return ["/"]
+            return super().robots(host)
+
+    root = str(tmp_path / "robots_adapter")
+    run_crawl(spark, root, SEEDS, WEB, CrawlConfig(budget_per_host=BUDGET),
+              max_epochs=2, fetch_adapter=BlockHost1Adapter(WEB))
+    hosts = {r.host for r in read_fetch_log(spark, root).collect()}
+    assert "host1.test" not in hosts
+    assert "host0.test" in hosts and len(hosts) >= 2

@@ -61,9 +61,86 @@ def test_phash_properties():
 
 def test_unknown_format_is_stubbed():
     with pytest.raises(NotImplementedError):
-        encode(make_image("x", 8, 8), "jpeg")
+        encode(make_image("x", 8, 8), "png")
     with pytest.raises(NotImplementedError):
-        decode(b"\xff\xd8", "jpeg")
+        decode(b"\x89PNG", "png")
+
+
+@pytest.mark.parametrize("w,h", [(64, 48), (33, 17), (8, 8), (100, 100)])
+def test_jpeg_psnr_at_least_40db(w, h):
+    """Real baseline JFIF: encode→decode PSNR ≥ 40 dB at default quality,
+    including non-multiple-of-8 dimensions (edge-replicated padding)."""
+    img = make_image(f"img-{w}-{h}", w, h)
+    out = decode(encode(img, "jpeg"), "jpeg")
+    assert out.shape == img.shape
+    assert psnr(img, out) >= 40.0
+
+
+def test_jpeg_stream_is_standards_compliant_baseline():
+    """The emitted bytes are a self-contained JFIF file any viewer can
+    decode: SOI, JFIF APP0, DQT×2, SOF0 (baseline) with 3 components and
+    the exact dimensions, DHT×4, SOS, EOI — and every table is read back
+    from the stream by our own decoder (no shared module state)."""
+    img = make_image("img-9-9-9", 40, 24)
+    data = encode(img, "jpeg")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+
+    def _markers(buf):
+        out, i = [], 2
+        while i < len(buf) - 1:
+            assert buf[i] == 0xFF
+            m = buf[i + 1]
+            out.append(m)
+            if m == 0xD9:
+                break
+            seg = int.from_bytes(buf[i + 2:i + 4], "big")
+            i += 2 + seg
+            if m == 0xDA:  # entropy data until EOI (stuffed FF00 inside)
+                j = buf.find(b"\xff\xd9", i)
+                assert j != -1
+                i = j
+        return out
+
+    ms = _markers(data)
+    assert ms.count(0xDB) == 2 and ms.count(0xC4) == 4
+    assert 0xC0 in ms and 0xDA in ms and ms[-1] == 0xD9
+    sof = data.find(b"\xff\xc0")
+    precision, hh, ww, ncomp = (
+        data[sof + 4],
+        int.from_bytes(data[sof + 5:sof + 7], "big"),
+        int.from_bytes(data[sof + 7:sof + 9], "big"),
+        data[sof + 9],
+    )
+    assert (precision, hh, ww, ncomp) == (8, 24, 40, 3)
+
+
+def test_jpeg_quality_controls_size_and_fidelity():
+    """Lower quality → smaller stream and (weakly) lower PSNR; both
+    streams stay decodable — the quantization tables really come from the
+    DQT segments, not a constant."""
+    from mlscraper_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    img = make_image("img-5-4-3", 96, 64)
+    hi, lo = encode_jpeg(img, quality=95), encode_jpeg(img, quality=25)
+    assert len(lo) < len(hi) < len(encode(img, "ppm"))
+    assert psnr(img, decode_jpeg(lo)) < psnr(img, decode_jpeg(hi))
+    assert psnr(img, decode_jpeg(lo)) > 20.0
+
+
+def test_jpeg_grayscale_decode():
+    """1-component baseline streams (the other shape real crawls hit)
+    decode to (h, w, 3) replicated gray."""
+    from mlscraper_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    img = make_image("img-7-7-7", 32, 32)
+    gray = encode_jpeg(img, grayscale=True)
+    out = decode_jpeg(gray)
+    assert out.shape == (32, 32, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    y = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+         + 0.114 * img[..., 2])
+    assert psnr(y.astype(np.uint8), out[..., 0]) >= 40.0
 
 
 def test_images_table_from_crawled_pages(spark):
