@@ -409,6 +409,34 @@ def _pdf_topk(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     return pdf[pdf.groupby("host").cumcount() < budget]
 
 
+def _partition_topk(batches: Iterator[pd.DataFrame], budget: int) -> pd.DataFrame | None:
+    """Per-host top-``budget`` over one partition's Arrow batches.
+
+    Merges geometrically: re-merge only once the rows added since the last
+    merge exceed the retained set (or 64k, whichever is larger).  Each merge
+    of size S consumes ≥ S/2 fresh rows, so total sort work is O(N log N) in
+    the partition size.  A fixed "size > 65536" trigger is quadratic when the
+    retained set itself exceeds the threshold (many distinct hosts): every
+    subsequent Arrow batch re-sorts the whole accumulation — measured 10×
+    superlinear on the 4-core 4M-width select stage before this fix.
+    Memory stays bounded by retained + pending ≤ ~2× the final result."""
+    parts: list[pd.DataFrame] = []
+    pending = 0   # rows appended since the last merge
+    retained = 0  # size of the last merged result
+    for pdf in batches:
+        t = _pdf_topk(pdf, budget)
+        parts.append(t)
+        pending += len(t)
+        if pending > max(65536, retained):
+            merged = _pdf_topk(pd.concat(parts, ignore_index=True), budget)
+            parts, pending, retained = [merged], 0, len(merged)
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    return _pdf_topk(pd.concat(parts, ignore_index=True), budget)
+
+
 def _token_params(cfg: CrawlConfig) -> tuple[int, int]:
     cap = cfg.tokens_capacity if cfg.tokens_capacity is not None else cfg.budget_per_host
     refill = cfg.budget_per_host
@@ -443,24 +471,8 @@ def _politeness_select(frontier: DataFrame, cfg: CrawlConfig,
     cols = frontier.columns
 
     def _phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-batch local top-k, merged in 64k-row chunks — amortized ~2
-        # sorts per row regardless of Arrow batch size, memory bounded by
-        # the chunk threshold + one batch
-        parts: list[pd.DataFrame] = []
-        size = 0
-        for pdf in batches:
-            t = _pdf_topk(pdf, budget)
-            parts.append(t)
-            size += len(t)
-            if size > 65536:
-                merged = _pdf_topk(pd.concat(parts, ignore_index=True), budget)
-                parts, size = [merged], len(merged)
-        if parts:
-            out = (
-                _pdf_topk(pd.concat(parts, ignore_index=True), budget)
-                if len(parts) > 1
-                else parts[0]
-            )
+        out = _partition_topk(batches, budget)
+        if out is not None:
             yield out[cols]
 
     local = frontier.mapInPandas(

@@ -802,3 +802,43 @@ def test_robots_routed_through_adapter(spark, tmp_path):
     hosts = {r.host for r in read_fetch_log(spark, root).collect()}
     assert "host1.test" not in hosts
     assert "host0.test" in hosts and len(hosts) >= 2
+
+
+def test_partition_topk_amortized_merges_and_exactness(monkeypatch):
+    """_partition_topk must (a) equal the naive global per-host top-k and
+    (b) do O(log N) merges, not one per Arrow batch: with many distinct
+    hosts the retained set exceeds any fixed threshold, and a re-merge per
+    batch re-sorts the whole accumulation — quadratic in partition size
+    (the measured 10x 4-core select-stage superlinearity, VERDICT r3 #2)."""
+    import pandas as pd
+
+    from mlscraper_spark.crawl import engine as eng
+
+    rng = np.random.default_rng(7)
+    n_rows, n_hosts, batch, budget = 400_000, 150_000, 2048, 4
+    df = pd.DataFrame({
+        "host": rng.integers(0, n_hosts, n_rows).astype(str),
+        "priority": rng.integers(0, 100, n_rows),
+        "url_hash": rng.integers(-2**62, 2**62, n_rows),
+        "url_canon": [f"u{i}" for i in range(n_rows)],
+    })
+    batches = [df.iloc[i:i + batch] for i in range(0, n_rows, batch)]
+
+    calls = {"n": 0}
+    real = eng._pdf_topk
+
+    def counting(pdf, b):
+        calls["n"] += 1
+        return real(pdf, b)
+
+    monkeypatch.setattr(eng, "_pdf_topk", counting)
+    out = eng._partition_topk(iter(batches), budget)
+    # one call per batch is unavoidable (per-batch local top-k); merges on
+    # top of that must be logarithmic, not one per batch (~196 here)
+    merges = calls["n"] - len(batches)
+    assert merges <= 12, f"{merges} merges for {len(batches)} batches"
+
+    expected = real(df, budget)
+    got = out.sort_values(["host", "url_canon"]).reset_index(drop=True)
+    exp = expected[out.columns].sort_values(["host", "url_canon"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
