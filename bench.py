@@ -39,6 +39,23 @@ def _loadavg():
         return None
 
 
+def _cooldown(threshold: float = 1.5, max_wait: int = 240) -> None:
+    """Sleep until the 1-minute loadavg decays below ``threshold`` (or
+    ``max_wait`` s elapse).  Each bench section otherwise starts while the
+    1-minute average still carries the PREVIOUS section's load (the crawl
+    probe's first leg inherited the query loop's ~5+ loadavg in the r3
+    judge run), which makes a clean leg look externally confounded in the
+    record and hides genuinely confounded ones.  Shared with the scaling
+    ladders (scripts/scaling_4m.py imports this)."""
+    waited = 0
+    while True:
+        load = _loadavg()
+        if load is None or load < threshold or waited >= max_wait:
+            return
+        time.sleep(15)
+        waited += 15
+
+
 def main():
     load0 = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +105,7 @@ def main():
     urls_per_sec = extract_rows_per_sec = None
     crawl_detail = None
     if os.environ.get("BENCH_SKIP_THROUGHPUT") != "1":
+        _cooldown()  # don't start the crawl probe under the query loop's load
         urls_per_sec, extract_rows_per_sec, crawl_detail = _throughput(spark)
 
     out = {
@@ -150,7 +168,9 @@ def _throughput(spark):
     # a reused root would resume, not re-crawl)
     crawl_sec, n_urls = None, None
     crawl_legs, crawl_loads = [], []
-    for _ in range(2):
+    for leg_i in range(2):
+        if leg_i:
+            _cooldown()  # leg 2 must not inherit leg 1's loadavg
         root = tempfile.mkdtemp(prefix="bench_crawl_")
         crawl_loads.append(_loadavg())
         t0 = time.time()
@@ -176,6 +196,7 @@ def _throughput(spark):
         ).alias("url_canon")
     )
     extract_sec, n_rows = None, None
+    _cooldown()  # the extraction probe follows the crawl probe's last leg
     for _ in range(2):
         t0 = time.time()
         n = fetch_and_extract_images(urls, ext_web).count()

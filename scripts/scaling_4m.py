@@ -37,11 +37,12 @@ def _cooldown(threshold: float = 1.5, max_wait: int = 360) -> None:
     1-minute average still carries the PREVIOUS leg's load, which makes a
     clean leg look confounded in the record (round-2 verdict discounted a
     ladder for exactly this); the cooldown makes every leg's
-    loadavg_before a true statement about external load."""
-    waited = 0
-    while float(_loadavg()) >= threshold and waited < max_wait:
-        time.sleep(15)
-        waited += 15
+    loadavg_before a true statement about external load.  Shared
+    implementation lives in bench.py so its sections cool down the same
+    way."""
+    from bench import _cooldown as _bench_cooldown
+
+    _bench_cooldown(threshold=threshold, max_wait=max_wait)
 
 
 def run_leg(cores: int, tag: str) -> dict:
