@@ -315,6 +315,13 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
         "url_canon", "url_hash", "host", "host_bucket",
         "priority", "depth", "discovered_epoch",
     ).dropDuplicates(["url_canon"]).cache()
+    if os.environ.get("SPARK_GRAFT_TRACE"):
+        # sub-stage attribution (trace only): the caches make the split
+        # jobs sum to the same work the fused job would do
+        c.count()
+        _t = _trace("seed-plan/canonicalize", _t)
+        robots.count()
+        _t = _trace("seed-plan/robots", _t)
     buckets = sorted(
         r.host_bucket for r in frontier.select("host_bucket").distinct().collect()
     )
@@ -975,6 +982,14 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     )
     vetted = definitely_new.unionByName(survived).cache()
     _caches.append(vetted)
+    if os.environ.get("SPARK_GRAFT_TRACE"):
+        # sub-stage attribution (trace only; caches keep total work equal):
+        # discovery canonicalize + new-host robots, then cuckoo cogroup +
+        # exact anti-join vetting, then the dirty-bucket collect remainder
+        robots_new.count()
+        _t = _trace("plan-delta/canon+robots", _t)
+        vetted.count()
+        _t = _trace("plan-delta/cuckoo+vet", _t)
 
     # ---- delta merge: rewrite DIRTY buckets only -------------------------
     # one job: both inputs are cached, so this union just scans two caches

@@ -1620,6 +1620,68 @@ FROM events GROUP BY event_type
 """
 
 
+def q42_jpeg_roundtrip(spark, sf_dir):
+    """Real compressed-format round-trip, driver-gated: every document's
+    deterministic RGB image (q26 dims policy) is encoded with the repo's
+    pure-numpy baseline JFIF encoder (images/jpeg.py) and decoded back by
+    its decoder — tables parsed from the stream, nothing assumed.  JPEG
+    byte length is entropy-coded, not a closed form, so unlike q26 the
+    oracle pins what the decode PROVES instead: dimensions survive the
+    round-trip exactly, ``decode_ok`` is true on every row (a decoder
+    failure maps to false, never a task failure — the q40 policy), and
+    PSNR ≥ 40 dB (BASELINE.json's exactness floor, also property-tested
+    in tests/test_images.py) holds against the pre-encode pixels.
+    One Arrow stage over the documents scan, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("img/"), F.col("doc_id").cast("string")).alias("image_id"),
+        (16 + (F.col("n_chars") % 8) * 16).cast("int").alias("w"),
+        (16 + (F.col("n_chars") % 5) * 16).cast("int").alias("h"),
+    )
+    schema = ("image_id string, w int, h int, decode_ok boolean, "
+              "psnr_ge_40 boolean")
+
+    def _run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mlscraper_spark.images.codec import make_image
+        from mlscraper_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for image_id, w, h in zip(pdf["image_id"], pdf["w"], pdf["h"]):
+                img = make_image(image_id, int(w), int(h))
+                ok, dec_w, dec_h, psnr_ok = False, 0, 0, False
+                try:
+                    out = decode_jpeg(encode_jpeg(img))
+                    dec_h, dec_w = int(out.shape[0]), int(out.shape[1])
+                    mse = float(np.mean(
+                        (out.astype(np.float64) - img.astype(np.float64)) ** 2
+                    ))
+                    psnr_ok = mse == 0.0 or (
+                        10.0 * np.log10(255.0 ** 2 / mse) >= 40.0
+                    )
+                    ok = True
+                except Exception:
+                    pass  # decode_ok=false row, never a task failure
+                rows.append((image_id, dec_w, dec_h, ok, psnr_ok))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "decode_ok", "psnr_ge_40"]
+            )
+
+    return docs.mapInPandas(_run, schema)
+
+
+Q42_SQL = """
+SELECT 'img/' || doc_id::varchar AS image_id,
+       (16 + (n_chars % 8) * 16)::int AS w,
+       (16 + (n_chars % 5) * 16)::int AS h,
+       TRUE AS decode_ok,
+       TRUE AS psnr_ge_40
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1666,6 +1728,7 @@ QUERIES: dict[str, Callable] = {
     "q39_dedup_clusters": q39_dedup_clusters,
     "q40_media_inventory": q40_media_inventory,
     "q41_skew_salted": q41_skew_salted,
+    "q42_jpeg_roundtrip": q42_jpeg_roundtrip,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1710,4 +1773,5 @@ ORACLE_SQL: dict[str, str] = {
     "q39_dedup_clusters": Q39_SQL,
     "q40_media_inventory": Q40_SQL,
     "q41_skew_salted": Q41_SQL,
+    "q42_jpeg_roundtrip": Q42_SQL,
 }
