@@ -163,7 +163,12 @@ def _throughput(spark):
     # Per-leg seconds + loadavg are reported so a noisy leg is
     # identifiable round-over-round.
     web = WebConfig(n_hosts=100000, max_pages_per_host=40, links_per_page=10)
-    seeds = [f"http://{web.host_name(i)}/page/0" for i in range(web.n_hosts)]
+    # distributed seed source — same URLs as the host_name list
+    # comprehension, generated executor-side (no driver list in the task
+    # binaries; see seed_crawl's docstring)
+    seeds = spark.range(web.n_hosts).select(
+        F.format_string("http://host%d.test/page/0", F.col("id")).alias("raw")
+    )
     # best-of-2, same rationale as the query loop (fresh root each leg —
     # a reused root would resume, not re-crawl)
     crawl_sec, n_urls = None, None

@@ -274,23 +274,36 @@ def _write_frontier(fmt: TableFormat, df: DataFrame, snap: str,
     )
 
 
-def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
+def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
                cfg: CrawlConfig, fetch_adapter=None) -> None:
     """Write the epoch=-1 snapshot: seeded frontier, empty everything else.
     ``fetch_adapter`` supplies robots resolution for the seed hosts (same
-    seam as the epoch loop's fetch stage)."""
+    seam as the epoch loop's fetch stage).
+
+    ``seeds`` is either a ``list[str]`` (small, driver-resident — tests and
+    interactive use) or a single-string-column ``DataFrame`` (the scale
+    path: a 100 TB deployment's seed list lives in storage or is generated
+    distributedly, never materialized on the driver.  A driver list is
+    embedded into every task binary — ~8 MB at 1.2M seeds, a
+    cores-independent cost the N-vs-4N ladder measures directly)."""
     import time as _time
 
     _t = _time.time()
     adapter = fetch_adapter or SynthWebAdapter(web)
     fmt = get_table_format(spark)
-    # Arrow path (one pandas column), not createDataFrame(list-of-tuples):
-    # row-by-row conversion serializes the whole seed list on the DRIVER —
-    # a cores-independent cost that at ladder widths (300k-1.2M seeds)
-    # dominates the seed snapshot and drags the N-vs-4N efficiency ratio
-    # explicit schema: an empty seed list otherwise breaks inference
-    # (pandas object column with no rows → "can not infer schema")
-    raw = spark.createDataFrame(pd.DataFrame({"raw": seeds}), schema="raw string")
+    if isinstance(seeds, DataFrame):
+        raw = seeds.select(F.col(seeds.columns[0]).cast("string").alias("raw"))
+        n_seeds = None  # resolved from the canonicalized set below
+    else:
+        # Arrow path (one pandas column), not createDataFrame(list-of-tuples):
+        # row-by-row conversion serializes the whole seed list on the DRIVER —
+        # a cores-independent cost that at ladder widths (300k-1.2M seeds)
+        # dominates the seed snapshot and drags the N-vs-4N efficiency ratio
+        # explicit schema: an empty seed list otherwise breaks inference
+        # (pandas object column with no rows → "can not infer schema")
+        raw = spark.createDataFrame(pd.DataFrame({"raw": seeds}),
+                                    schema="raw string")
+        n_seeds = len(seeds)
     # cache: the canonicalized seed set feeds BOTH the robots host scan and
     # the frontier build — uncached, the canonicalize UDF pipeline re-runs
     # for every consumer (measured 3× on the seed path)
@@ -325,6 +338,11 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     buckets = sorted(
         r.host_bucket for r in frontier.select("host_bucket").distinct().collect()
     )
+    if n_seeds is None:
+        # DataFrame seed source: the manifest count is the canonicalized
+        # seed set (cache is warm — the buckets collect just materialized
+        # the frontier through it, so this is a cache scan, not a re-plan)
+        n_seeds = c.count()
     _t = _trace("seed-plan", _t)
 
     d = _snap_dir(root, -1)
@@ -355,7 +373,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
         json.dump(
             {
                 "epoch": -1,
-                "seeds": len(seeds),
+                "seeds": n_seeds,
                 "frontier_refs": {str(b): -1 for b in buckets},
             },
             f,
@@ -1128,7 +1146,7 @@ def _write_empty_epoch(spark, root, epoch, refs, robots, filters,
         )
 
 
-def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
+def run_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
               cfg: CrawlConfig, max_epochs: int,
               scraper_plan: dict | None = None,
               emit_images: bool = False,
@@ -1136,6 +1154,11 @@ def run_crawl(spark: SparkSession, root: str, seeds: list[str], web: WebConfig,
     """Run (or resume) a crawl up to max_epochs.  Resume is automatic: the
     loop starts after the last complete snapshot, so a killed run continues
     exactly where it stopped (tested identical to an uninterrupted run).
+
+    ``seeds``: list[str] or a single-string-column DataFrame (the scale
+    path — see seed_crawl).  Bit-for-bit identical results either way
+    (tested): seeding canonicalizes + dedups, so source shape can't leak
+    into snapshot content.
 
     Optional per-epoch extraction stages (the north-star payload path —
     fetch is a pure function of the URL, so these stages refetch rather

@@ -8,10 +8,12 @@ stages — embarrassingly parallel, no shuffle, no per-row Python UDFs.
 Real vs stubbed, honestly split:
 
 * **Real**: the Spark-side plumbing — schemas, batch iteration, the
-  ``pcm16`` audio codec (raw little-endian int16 mono) and the ``rawv``
-  video codec (concatenated raw RGB frames) are fully implemented and
-  vectorized with numpy, so every operator is testable end-to-end on
-  deterministic synthetic media.
+  ``pcm16`` audio codec (raw little-endian int16 mono), the ``ulaw``
+  audio codec (ITU-T G.711 µ-law — a REAL compressed standard, 2×, pure
+  numpy, bit-exact vs audioop) and the ``rawv`` video codec
+  (concatenated raw RGB frames) are fully implemented and vectorized
+  with numpy, so every operator is testable end-to-end on deterministic
+  synthetic media.
 * **Stubbed**: compressed formats (mp3/opus/h264/mp4) raise
   ``NotImplementedError`` inside ``decode_*`` — the decoder libraries
   are not in this container.  Feature operators catch it and emit
@@ -71,9 +73,67 @@ def synth_audio(audio_id: str, n_samples: int):
     return (amp * np.sin(2 * np.pi * freq * t)).astype("<i2")
 
 
+# --- G.711 µ-law (REAL compressed audio format, pure numpy) ----------------
+# ITU-T G.711 µ-law, 14-bit segmented-log companding: 2× compression
+# (1 byte/sample vs pcm16's 2).  Implementation follows the classic
+# public-domain Sun g711.c / CPython-audioop tables (seg_uend search,
+# BIAS 0x84, seg>=8 clamp) and is pinned BIT-EXACT against audioop for
+# every int16 value and every code byte in tests/test_media.py.  Encode
+# goes through a 64 Ki LUT (built once from the closed-form path below);
+# decode is 256 codes, closed form.
+
+_ULAW_SEG_UEND = None  # lazy numpy tables (module import stays numpy-free)
+_ULAW_ENC_LUT = None
+_ULAW_DEC_LUT = None
+
+
+def _ulaw_encode_closed_form(x16):
+    import numpy as np
+
+    global _ULAW_SEG_UEND
+    if _ULAW_SEG_UEND is None:
+        _ULAW_SEG_UEND = np.array(
+            [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], np.int32
+        )
+    x14 = x16.astype(np.int32) >> 2            # 16→14-bit, sign-preserving
+    mask = np.where(x14 < 0, 0x7F, 0xFF).astype(np.int32)
+    mag = np.minimum(np.abs(x14), 8159) + 33   # clip + (BIAS >> 2)
+    seg = np.searchsorted(_ULAW_SEG_UEND, mag).astype(np.int32)
+    safe = np.minimum(seg, 7)
+    uval = np.where(seg >= 8, 0x7F,            # mag past the last segment
+                    (safe << 4) | ((mag >> (safe + 1)) & 0x0F))
+    return ((uval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def ulaw_encode(samples) -> bytes:
+    """int16 array → µ-law bytes (1 byte/sample; bit-exact vs audioop)."""
+    import numpy as np
+
+    global _ULAW_ENC_LUT
+    if _ULAW_ENC_LUT is None:
+        _ULAW_ENC_LUT = _ulaw_encode_closed_form(
+            np.arange(-32768, 32768, dtype=np.int16)
+        )
+    return _ULAW_ENC_LUT[samples.astype(np.int32) + 32768].tobytes()
+
+
+def ulaw_decode(blob: bytes):
+    """µ-law bytes → int16 array (bit-exact vs audioop)."""
+    import numpy as np
+
+    global _ULAW_DEC_LUT
+    if _ULAW_DEC_LUT is None:
+        u = (~np.arange(256, dtype=np.int32)) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        _ULAW_DEC_LUT = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    return _ULAW_DEC_LUT[np.frombuffer(blob, dtype=np.uint8)]
+
+
 def encode_audio(samples, fmt: str) -> bytes:
     if fmt == "pcm16":
         return samples.astype("<i2").tobytes()
+    if fmt == "ulaw":
+        return ulaw_encode(samples)
     raise NotImplementedError(f"audio encoder for {fmt!r} not available here")
 
 
@@ -82,6 +142,8 @@ def decode_audio(blob: bytes, fmt: str):
         import numpy as np
 
         return np.frombuffer(blob, dtype="<i2")
+    if fmt == "ulaw":
+        return ulaw_decode(blob)
     # mp3/opus/... need decoder libs absent from this container
     raise NotImplementedError(f"audio decoder for {fmt!r} not available here")
 
@@ -145,7 +207,13 @@ def synth_audio_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     + xxhash64(audio_id.encode()) % (2 * _SAMPLE_RATE)
                 )
                 fmt = str(pdf["fmt"].iloc[i]) if has_fmt else "pcm16"
-                blob = encode_audio(synth_audio(audio_id, n), "pcm16")
+                # real formats are encoded AS LABELED (pcm16, ulaw); a
+                # stub label (mp3/...) carries pcm16 payload bytes — the
+                # "bytes we can't decode here" case the docstring covers
+                blob = encode_audio(
+                    synth_audio(audio_id, n),
+                    fmt if fmt in ("pcm16", "ulaw") else "pcm16",
+                )
                 rows.append(
                     (audio_id, blob, _SAMPLE_RATE, n, fmt,
                      f"transcript for {raw_id}")

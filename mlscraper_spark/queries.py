@@ -1682,6 +1682,74 @@ FROM documents
 """
 
 
+def q43_ulaw_roundtrip(spark, sf_dir):
+    """Real compressed AUDIO format, driver-gated: the q40 audio table is
+    synthesized with ``fmt='ulaw'`` (ITU-T G.711 µ-law, media/ops.py —
+    bit-exact vs audioop, property-tested), then decoded back and compared
+    against the re-synthesized original waveform.  Unlike JPEG (q42),
+    µ-law's size IS a closed form — exactly 1 byte/sample — so the oracle
+    pins the compressed byte count and the DECODED sample count as values,
+    plus decode success and SNR ≥ 30 dB (log-companding's fidelity floor
+    for these amplitudes; the exact per-sample error bound is pinned in
+    tests/test_media.py).  Two chained Arrow stages (synth table →
+    decode+verify), zero shuffle."""
+    from mlscraper_spark.media.ops import synth_audio_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (2000 + F.pmod("n_chars", F.lit(577)) * 16).cast("int").alias("n_samples"),
+        F.lit("ulaw").alias("fmt"),
+    )
+    aud = synth_audio_table(docs)
+    schema = ("media_id string, n_bytes int, n_samples_decoded int, "
+              "decode_ok boolean, snr_ge_30 boolean")
+
+    def _verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mlscraper_spark.media.ops import decode_audio, synth_audio
+
+        for pdf in batches:
+            rows = []
+            for audio_id, blob, n in zip(pdf["audio_id"], pdf["bytes"],
+                                         pdf["n_samples"]):
+                nb = len(blob) if blob is not None else 0
+                ok, n_dec, snr_ok = False, 0, False
+                try:
+                    dec = decode_audio(bytes(blob), "ulaw").astype(np.float64)
+                    n_dec = len(dec)
+                    orig = synth_audio(audio_id, int(n)).astype(np.float64)
+                    noise = float(np.mean((dec - orig) ** 2))
+                    sig = float(np.mean(orig ** 2))
+                    snr_ok = noise == 0.0 or (
+                        10.0 * np.log10(sig / noise) >= 30.0
+                    )
+                    ok = True
+                except Exception:
+                    pass  # decode_ok=false row, never a task failure
+                rows.append((audio_id, nb, n_dec, ok, snr_ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "n_samples_decoded",
+                         "decode_ok", "snr_ge_30"],
+            )
+
+    return aud.select("audio_id", "bytes", "n_samples").mapInPandas(
+        _verify, schema
+    )
+
+
+Q43_SQL = """
+SELECT 'audio/' || doc_id::varchar AS media_id,
+       (2000 + (n_chars % 577) * 16)::int AS n_bytes,
+       (2000 + (n_chars % 577) * 16)::int AS n_samples_decoded,
+       TRUE AS decode_ok,
+       TRUE AS snr_ge_30
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1729,6 +1797,7 @@ QUERIES: dict[str, Callable] = {
     "q40_media_inventory": q40_media_inventory,
     "q41_skew_salted": q41_skew_salted,
     "q42_jpeg_roundtrip": q42_jpeg_roundtrip,
+    "q43_ulaw_roundtrip": q43_ulaw_roundtrip,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1774,4 +1843,5 @@ ORACLE_SQL: dict[str, str] = {
     "q40_media_inventory": Q40_SQL,
     "q41_skew_salted": Q41_SQL,
     "q42_jpeg_roundtrip": Q42_SQL,
+    "q43_ulaw_roundtrip": Q43_SQL,
 }

@@ -59,8 +59,16 @@ def run_leg(cores: int, tag: str) -> dict:
     spark.range(1000).selectExpr("sum(id)").collect()
     _warm_python_workers(spark)
 
+    from pyspark.sql import functions as F
+
     web = WebConfig(n_hosts=N_HOSTS, max_pages_per_host=40, links_per_page=4)
-    seeds = [f"http://{web.host_name(i)}/page/0" for i in range(N_HOSTS)]
+    # distributed seed source (same URLs as the list comprehension over
+    # web.host_name, generated executor-side): a driver list at this width
+    # ships ~8 MB inside every task binary — a cores-independent fixed
+    # cost that the N-vs-4N ratio measures as anti-scaling
+    seeds = spark.range(N_HOSTS).select(
+        F.format_string("http://host%d.test/page/0", F.col("id")).alias("raw")
+    )
     workdir = f"/tmp/scaling4m_{tag}"
     shutil.rmtree(workdir, ignore_errors=True)
     t0 = time.time()

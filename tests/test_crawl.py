@@ -81,6 +81,36 @@ def test_engine_matches_oracle(spark, tmp_path, oracle_state):
     assert seen == oracle_state.url_seen
 
 
+def test_dataframe_seed_source_matches_list(spark, tmp_path, oracle_state):
+    """The scale path seeds from a DataFrame (distributed source, no driver
+    list in the task binaries); results must be bit-for-bit the list path's
+    — i.e. the oracle's."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "crawl_dfseed")
+    # same URLs as SEEDS (= WEB.seeds(4)), generated executor-side; thrown
+    # in out of order + duplicated so the test also pins that source shape
+    # (ordering/dup) can't leak into snapshot content
+    seeds_df = (
+        spark.range(4)
+        .select(F.format_string("http://host%d.test/page/0",
+                                F.lit(3) - F.col("id")).alias("raw"))
+        .unionAll(spark.createDataFrame([("http://host0.test/page/0",)],
+                                        "raw string"))
+    )
+    run_crawl(spark, root, seeds_df, WEB, CrawlConfig(budget_per_host=BUDGET),
+              max_epochs=EPOCHS)
+    log = [
+        (r.epoch, r.seq, r.url_canon)
+        for r in read_fetch_log(spark, root).sort("epoch", "seq").collect()
+    ]
+    want = [(r["epoch"], r["seq"], r["url_canon"]) for r in oracle_state.fetch_log]
+    assert log == want
+    last = last_complete_epoch(root)
+    seen = {r.url_canon for r in read_url_seen(spark, root, last).collect()}
+    assert seen == oracle_state.url_seen
+
+
 def test_engine_resume_equals_uninterrupted(spark, tmp_path, oracle_state):
     root = str(tmp_path / "crawl_resume")
     # run 2 epochs, "kill", resume to EPOCHS

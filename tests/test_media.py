@@ -122,3 +122,89 @@ def test_bad_blob_yields_row_not_task_failure(spark):
     )
     rows = sample_frames(video).collect()
     assert len(rows) == 3 and not any(r.decode_ok for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law: the REAL compressed audio format (q43)
+# ---------------------------------------------------------------------------
+
+
+def test_ulaw_bit_exact_vs_audioop():
+    """Every int16 value encodes and every code byte decodes EXACTLY as
+    CPython's audioop (the reference G.711 tables).  audioop is gone in
+    3.13 — skip there; the closed-form properties below still pin the
+    codec."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        audioop = pytest.importorskip("audioop")
+    from mlscraper_spark.media.ops import ulaw_decode, ulaw_encode
+
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    assert ulaw_encode(xs) == audioop.lin2ulaw(xs.tobytes(), 2)
+    codes = np.arange(256, dtype=np.uint8).tobytes()
+    assert np.array_equal(
+        ulaw_decode(codes),
+        np.frombuffer(audioop.ulaw2lin(codes, 2), dtype=np.int16),
+    )
+
+
+def test_ulaw_closed_form_properties():
+    """audioop-independent invariants: 1 byte/sample, re-encoding a decoded
+    code is the identity (except negative zero 0x7F, which canonicalizes to
+    positive zero 0xFF), decode is odd-symmetric-ish and monotone within
+    each sign, and the round-trip error respects the segment step bound."""
+    from mlscraper_spark.media.ops import ulaw_decode, ulaw_encode
+
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    blob = ulaw_encode(xs)
+    assert len(blob) == len(xs)  # exactly 1 byte/sample (the 2× format)
+    codes = np.arange(256, dtype=np.uint8)
+    dec = ulaw_decode(codes.tobytes())
+    re = np.frombuffer(ulaw_encode(dec), dtype=np.uint8)
+    mism = codes[re != codes]
+    assert mism.tolist() == [0x7F]  # ±0 canonicalization only
+    # segment step bound: |decode(encode(x)) - x| < 2^(seg+3) in the
+    # 16-bit domain, and never above the top-segment step
+    rt = ulaw_decode(blob).astype(np.int64)
+    err = np.abs(rt - xs.astype(np.int64))
+    assert int(err.max()) <= 1024
+    # low amplitudes quantize finely (log companding's whole point)
+    # (int32 first: np.abs(int16 -32768) overflows back to -32768)
+    small = np.abs(xs.astype(np.int32)) <= 1000
+    assert int(err[small].max()) <= 64
+
+
+def test_ulaw_through_audio_table_and_inventory(spark):
+    """fmt='ulaw' rows carry REAL µ-law payloads: the inventory decodes
+    them (decode_ok=true), the decoded sample count equals the metadata
+    count, and the blob is exactly n_samples bytes — half of pcm16's."""
+    from mlscraper_spark.media.ops import audio_inventory
+
+    ids = spark.createDataFrame(
+        [(1, 3000, "ulaw"), (2, 3000, "pcm16"), (3, 3000, "mp3")],
+        "doc_id int, n_samples int, fmt string",
+    )
+    rows = {r.media_id: r for r in audio_inventory(
+        synth_audio_table(ids)).collect()}
+    u, p, m = rows["audio/1"], rows["audio/2"], rows["audio/3"]
+    assert u.decode_ok and u.n_units == 3000 and u.n_bytes == 3000
+    assert p.decode_ok and p.n_units == 3000 and p.n_bytes == 6000
+    assert (not m.decode_ok) and m.n_units == 0 and m.n_bytes == 6000
+
+
+def test_ulaw_snr_floor():
+    """SNR of the µ-law round-trip over the synthetic waveforms stays
+    above q43's 30 dB oracle floor (amplitudes 1000..21000 sit well above
+    the first segment, where log companding holds SNR ~flat)."""
+    from mlscraper_spark.media.ops import ulaw_decode, ulaw_encode
+
+    worst = 1e9
+    for i in range(25):
+        s = synth_audio(f"audio/{i}", 4000)
+        dec = ulaw_decode(ulaw_encode(s)).astype(np.float64)
+        orig = s.astype(np.float64)
+        snr = 10.0 * np.log10(np.mean(orig ** 2) / np.mean((dec - orig) ** 2))
+        worst = min(worst, snr)
+    assert worst >= 30.0, f"worst SNR {worst:.1f} dB"
