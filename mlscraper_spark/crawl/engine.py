@@ -242,22 +242,104 @@ def _collect_fingerprints(filters_df: DataFrame) -> dict:
     }
 
 
-def _canonicalize_udf(raw_col: str):
-    """Arrow-batched canonicalization (F11): raw href → (url_canon, host, path).
+# --- JVM canonicalization (F11 hot path) -----------------------------------
+# Crawl link volume is the engine's biggest column workload (every fetched
+# page emits links_per_page raw hrefs), and shipping them through Arrow to
+# pandas made canonicalization the largest Python stage in the epoch — a
+# poorly-scaling cost at wide parallelism (per-task Python overhead is
+# ~100x a JVM task's).  The hybrid below computes the canonical form
+# entirely in Catalyst expressions (whole-stage codegen) for every URL
+# shape whose canonicalization is expressible exactly, and routes ONLY the
+# residue through the Arrow UDF, masked to null for fast rows so the
+# python stage moves near-zero data.  Exactness argument, mirrored by
+# tests/test_urlnorm.py::test_jvm_canonicalize_matches_scalar:
+#
+# * fragment: ``canonicalize`` strips everything from the first '#'
+#   (urlsplit) — substring_index(url, '#', 1) is the same cut.
+# * gate (pre-query part): ^scheme://host(/path)?$ where host is
+#   [A-Za-z0-9.-]+ (no port/userinfo/IDN) and path excludes ?#, ASCII
+#   whitespace AND unicode whitespace — python's str.strip() trims
+#   unicode space, so a fast path that admitted e.g. U+00A0 at the end
+#   of a path would diverge; any such row falls to the residue UDF.
+# * query: parse_qsl→sorted→urlencode is the identity-then-sort exactly
+#   when every '&'-separated pair is k=v over urllib's always-safe set
+#   [A-Za-z0-9_.~-] (no '%', '+', ';', or a second '='): unquote/quote
+#   are identity there, and python's tuple sort equals Spark's
+#   array_sort over struct(k,v) because both compare ASCII bytewise.
+#   Any other query falls to the residue UDF.
+# * scheme/host lowercase, empty path → '/': same expression both sides.
+_JVM_WS = "\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+_JVM_PRE_RE = (
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([A-Za-z0-9.-]+)(/[^?#" + _JVM_WS + "]*)?$"
+)
+_JVM_QPAIR_RE = "^[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*$"
 
-    Vectorized fast path for the dominant URL shape (scheme://host/path,
-    no port/query/fragment/userinfo) via pandas C-regex ops; only the
-    residue goes through the per-row urlsplit canonicalizer.  The fast
-    path is proven equal to ``canonicalize`` by a property test
-    (tests/test_urlnorm.py)."""
+
+def canonicalize_frame(df: DataFrame, raw_col: str) -> DataFrame:
+    """Append (url_canon, host, path) for ``raw_col``: JVM expressions for
+    the dominant shapes, Arrow-UDF residue for the rest (masked input, so
+    the python stage carries ~zero rows on a typical link mix)."""
+    s = F.trim(F.col(raw_col))  # ASCII-space trim; other edge whitespace
+    # fails the fast gate and lands in the residue (python strips it)
+    base = F.substring_index(s, "#", 1)
+    pre = F.substring_index(base, "?", 1)
+    qpos = F.locate("?", base)
+    q = F.when(qpos > 0, base.substr(qpos + F.lit(1), F.length(base)))
+    pre_ok = pre.rlike(_JVM_PRE_RE)
+    q_ok = (
+        q.isNull() | (q == "")
+        | F.forall(F.split(q, "&"), lambda p: p.rlike(_JVM_QPAIR_RE))
+    )
+    is_fast = pre_ok & q_ok
+
+    scheme = F.lower(F.regexp_extract(pre, _JVM_PRE_RE, 1))
+    host_f = F.lower(F.regexp_extract(pre, _JVM_PRE_RE, 2))
+    path_raw = F.regexp_extract(pre, _JVM_PRE_RE, 3)
+    path_f = F.when(path_raw == "", "/").otherwise(path_raw)
+    pairs = F.transform(
+        F.split(q, "&"),
+        lambda p: F.struct(
+            F.split_part(p, F.lit("="), F.lit(1)).alias("k"),
+            F.split_part(p, F.lit("="), F.lit(2)).alias("v"),
+        ),
+    )
+    q_sorted = F.array_join(
+        F.transform(
+            F.array_sort(pairs),
+            lambda kv: F.concat(kv["k"], F.lit("="), kv["v"]),
+        ),
+        "&",
+    )
+    canon_f = F.concat(
+        scheme, F.lit("://"), host_f, path_f,
+        F.when(q.isNull() | (q == ""), "").otherwise(
+            F.concat(F.lit("?"), q_sorted)
+        ),
+    )
 
     @F.pandas_udf("struct<url_canon:string,host:string,path:string>")
-    def _canon(raw: pd.Series) -> pd.DataFrame:
+    def _residue(raw: pd.Series) -> pd.DataFrame:
         from mlscraper_spark.crawl.urlnorm import canonicalize_series
 
-        return canonicalize_series(raw)
+        out = pd.DataFrame(
+            {"url_canon": None, "host": None, "path": None},
+            index=raw.index, dtype=object,
+        )
+        mask = raw.notna()
+        if mask.any():
+            out.loc[mask, ["url_canon", "host", "path"]] = (
+                canonicalize_series(raw[mask]).to_numpy()
+            )
+        return out
 
-    return _canon(F.col(raw_col))
+    slow = _residue(F.when(is_fast, F.lit(None)).otherwise(F.col(raw_col)))
+    return df.withColumns(
+        {
+            "url_canon": F.when(is_fast, canon_f).otherwise(slow["url_canon"]),
+            "host": F.when(is_fast, host_f).otherwise(slow["host"]),
+            "path": F.when(is_fast, path_f).otherwise(slow["path"]),
+        }
+    )
 
 
 def _write_frontier(fmt: TableFormat, df: DataFrame, snap: str,
@@ -307,7 +389,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
     # cache: the canonicalized seed set feeds BOTH the robots host scan and
     # the frontier build — uncached, the canonicalize UDF pipeline re-runs
     # for every consumer (measured 3× on the seed path)
-    c = raw.select(_canonicalize_udf("raw").alias("c")).select("c.*").filter(
+    c = canonicalize_frame(raw, "raw").select("url_canon", "host", "path").filter(
         F.col("url_canon").isNotNull()  # same policy as discoveries: an
         # unparseable seed is dropped (oracle does the same), never a
         # phantom null-host frontier row
@@ -335,14 +417,13 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
         _t = _trace("seed-plan/canonicalize", _t)
         robots.count()
         _t = _trace("seed-plan/robots", _t)
-    buckets = sorted(
-        r.host_bucket for r in frontier.select("host_bucket").distinct().collect()
-    )
+    bucket_rows = frontier.groupBy("host_bucket").count().collect()
+    buckets = sorted(r.host_bucket for r in bucket_rows)
     if n_seeds is None:
-        # DataFrame seed source: the manifest count is the canonicalized
-        # seed set (cache is warm — the buckets collect just materialized
-        # the frontier through it, so this is a cache scan, not a re-plan)
-        n_seeds = c.count()
+        # DataFrame seed source: the manifest count is the seeded frontier
+        # (canonicalized, deduped, robots-filtered) — it falls out of the
+        # bucket collect above, so the DataFrame path costs no extra action
+        n_seeds = sum(r["count"] for r in bucket_rows)
     _t = _trace("seed-plan", _t)
 
     d = _snap_dir(root, -1)
@@ -387,9 +468,19 @@ def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
     synthetic web's pure-function rules by default, a real
     ``GET /robots.txt`` under HttpFetchAdapter — so a deployed crawl obeys
     the robots of the web it actually fetches from, through the same seam
-    as fetch itself.  The adapter is pickled into the python workers; one
-    robots resolution per NEW host per crawl (callers pass only
-    never-seen-before hosts)."""
+    as fetch itself.  When the adapter provides ``robots_col`` (a Catalyst
+    expression equal to its python rules — the synthetic web's are a pure
+    function of the host), the whole stage is JVM codegen; otherwise the
+    adapter is pickled into python workers, one robots resolution per NEW
+    host per crawl (callers pass only never-seen-before hosts)."""
+    hosts = hosts_df.select("host").distinct()
+    # getattr: duck-typed test fakes need not implement the optional method
+    col = getattr(adapter, "robots_col", lambda c: None)(F.col("host"))
+    if col is not None:
+        return hosts.select(
+            "host", col.alias("rules_json"),
+            F.lit(epoch).cast("int").alias("fetched_epoch"),
+        )
 
     def _rules(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -403,7 +494,7 @@ def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
                 }
             )
 
-    return hosts_df.select("host").distinct().mapInPandas(_rules, ROBOTS_SCHEMA)
+    return hosts.mapInPandas(_rules, ROBOTS_SCHEMA)
 
 
 def _filter_robots(df: DataFrame, robots: DataFrame) -> DataFrame:
@@ -415,7 +506,14 @@ def _filter_robots(df: DataFrame, robots: DataFrame) -> DataFrame:
         "path",
         F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("")),
     )
-    joined = with_path.join(F.broadcast(robots.select("host", "rules_json")), "host", "left")
+    # broadcast only hosts with NON-EMPTY rules: a host absent from the
+    # build side left-joins to null → rules [] → not blocked, exactly the
+    # empty-rules outcome — and most hosts have no rules, so the broadcast
+    # build (a serial driver-side collect) shrinks several-fold
+    rules_nonempty = robots.select("host", "rules_json").filter(
+        ~F.col("rules_json").isin("[]", "")
+    )
+    joined = with_path.join(F.broadcast(rules_nonempty), "host", "left")
     rules = F.from_json(F.coalesce(F.col("rules_json"), F.lit("[]")), "array<string>")
     blocked = F.exists(rules, lambda p: F.col("path").startswith(p))
     return joined.filter(~blocked).drop("path", "rules_json")
@@ -523,7 +621,7 @@ def _politeness_select(frontier: DataFrame, cfg: CrawlConfig,
 # ---------------------------------------------------------------------------
 
 
-def _assign_global_seq(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _assign_global_seq(spark: SparkSession, df: DataFrame) -> tuple[DataFrame, int]:
     """Deterministic global ``seq`` under the total order (priority DESC ⇔
     depth ASC, url_hash ASC, url_canon ASC) without a single-partition
     window and without sampling:
@@ -537,7 +635,13 @@ def _assign_global_seq(spark: SparkSession, df: DataFrame) -> DataFrame:
 
     Unlike range partitioning there is no sampled boundary state: any
     recomputation reproduces identical pids, ranks and offsets, so no
-    lineage cut is needed for exactness under task retries."""
+    lineage cut is needed for exactness under task retries.
+
+    Returns ``(df_with_seq, n_rows)`` — the total falls out of the offsets
+    collect for free, so callers need no separate count() action (each
+    driver action costs ~0.5 s of plan+submit regardless of cluster size;
+    the epoch loop's actions are a measured serial term in the N-vs-4N
+    scaling ladder)."""
     k = 1
     while (1 << k) < spark.sparkContext.defaultParallelism * 2:
         k += 1
@@ -557,13 +661,16 @@ def _assign_global_seq(spark: SparkSession, df: DataFrame) -> DataFrame:
         offsets.append((pid, acc))
         acc += counts[pid]
     if not offsets:
-        return ranked.withColumn("seq", F.lit(0)).drop("_pid", "_rn").limit(0)
+        return (
+            ranked.withColumn("seq", F.lit(0)).drop("_pid", "_rn").limit(0), 0
+        )
     off_df = spark.createDataFrame(offsets, "_pid long, _off long")
-    return (
+    out = (
         ranked.join(F.broadcast(off_df), "_pid")
         .withColumn("seq", (F.col("_off") + F.col("_rn") - 1).cast("int"))
         .drop("_pid", "_rn", "_off")
     )
+    return out, acc
 
 
 # ---------------------------------------------------------------------------
@@ -887,8 +994,10 @@ def run_epoch(spark: SparkSession, root: str, epoch: int, web: WebConfig,
     # offsets collect inside _assign_global_seq materializes this cache,
     # so the frontier scan + two-phase top-k run exactly once per epoch
     pol = _politeness_select(frontier, cfg, host_tokens).cache()
-    selected = _assign_global_seq(spark, pol).cache()
-    n_selected = selected.count()
+    # n_selected falls out of the seq-offsets collect — no separate
+    # count() action; the selected cache materializes inside the fetch job
+    selected, n_selected = _assign_global_seq(spark, pol)
+    selected = selected.cache()
     _t = _trace("select", _t)
     if n_selected == 0:
         selected.unpersist()
@@ -947,10 +1056,12 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     )
 
     # ---- discoveries: canonicalize, robots-filter, dedup (F11/J8) ------
-    raw_links = fetched.select("depth", F.explode("links").alias("raw"))
-    disc = raw_links.select(
-        (F.col("depth") + 1).alias("depth"), _canonicalize_udf("raw").alias("c")
-    ).select("depth", "c.url_canon", "c.host").filter(
+    raw_links = fetched.select(
+        (F.col("depth") + 1).alias("depth"), F.explode("links").alias("raw")
+    )
+    disc = canonicalize_frame(raw_links, "raw").select(
+        "depth", "url_canon", "host"
+    ).filter(
         F.col("url_canon").isNotNull()  # unparseable hrefs are not links
     )
     disc = _trap_filter(disc, cfg).cache()  # trap guard BEFORE robots:

@@ -43,6 +43,17 @@ class FetchAdapter:
         blocked iff its path starts with any returned prefix)."""
         raise NotImplementedError
 
+    def robots_col(self, host_col):
+        """OPTIONAL JVM fast path: a Spark Column computing
+        ``json.dumps(self.robots(host))`` from a host column, or None
+        (default) when robots resolution genuinely needs per-host I/O or
+        Python.  When provided it must equal ``robots`` for EVERY host
+        string — the engine uses it verbatim in place of the Arrow stage,
+        so a divergence would split the engine from the oracle.  Adapters
+        whose rules are pure functions (the synthetic web) provide it;
+        ``HttpFetchAdapter`` cannot (rules come from network fetches)."""
+        return None
+
 
 @dataclass(frozen=True)
 class SynthWebAdapter(FetchAdapter):
@@ -59,6 +70,28 @@ class SynthWebAdapter(FetchAdapter):
 
     def robots(self, host: str) -> list[str]:
         return self.web.robots_disallow(host)
+
+    def robots_col(self, host_col):
+        """Catalyst mirror of ``WebConfig.robots_disallow`` (see its
+        docstring for why the python side is regex-specified): whole-stage
+        codegen instead of an Arrow stage over every new host.  Pinned
+        equal to the python rules over adversarial host strings by
+        tests/test_crawl.py::test_synth_robots_col_matches_python.
+
+        A subclass that overrides ``robots`` (custom python rules) must
+        not inherit this mirror — it would silently shadow the override —
+        so the fast path withdraws itself unless ``robots`` is ours."""
+        if type(self).robots is not SynthWebAdapter.robots:
+            return None
+        from pyspark.sql import functions as F
+
+        idx = F.regexp_extract(
+            host_col, r"^host([0-9]{1,18})(\.[\s\S]*)?$", 1
+        )
+        return F.when(
+            (idx != "") & (F.pmod(idx.cast("bigint"), F.lit(5)) == 2),
+            F.lit('["/private/"]'),
+        ).otherwise(F.lit("[]"))
 
 
 def parse_links_and_images(body: bytes) -> tuple[list[str], int]:

@@ -57,12 +57,17 @@ class WebConfig:
         return [f"http://{self.host_name(i)}/page/0" for i in range(min(n, self.n_hosts))]
 
     def robots_disallow(self, host: str) -> list[str]:
-        """Hosts with index ≡ 2 (mod 5) disallow /private/."""
-        try:
-            idx = int(host.removeprefix("host").split(".")[0])
-        except ValueError:
-            return []
-        return ["/private/"] if idx % 5 == 2 else []
+        """Hosts with index ≡ 2 (mod 5) disallow /private/.
+
+        The spec is a REGEX on purpose: SynthWebAdapter.robots_col mirrors
+        it as a Catalyst expression (the JVM fast path for the per-host
+        robots stage), and a regex both runtimes implement identically is
+        what makes "python == JVM for every host string" provable
+        (tests/test_crawl.py pins it).  [\\s\\S] instead of '.' because
+        Java's '.' excludes \\r where Python's does not; {1,18} keeps the
+        index inside bigint so the JVM cast can't overflow-diverge."""
+        m = re.fullmatch(r"host([0-9]{1,18})(?:\.[\s\S]*)?", host)
+        return ["/private/"] if m and int(m.group(1)) % 5 == 2 else []
 
 
 def author_for(i: int, j: int) -> dict:

@@ -21,9 +21,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_HOSTS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
-LEGS = int(sys.argv[2]) if len(sys.argv) > 2 else 2  # per size
-OUTFILE = sys.argv[3] if len(sys.argv) > 3 else "BENCH/scaling_4m.json"
+if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+    # subprocess mode: run ONE leg and print its record (see main) —
+    # per-leg JVMs are what make per-core memory parity real (a stopped
+    # SparkContext's JVM persists in-process, so a second in-process leg
+    # would inherit the first leg's heap size)
+    _LEG_ARGS = (int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+else:
+    _LEG_ARGS = None
+    N_HOSTS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    LEGS = int(sys.argv[2]) if len(sys.argv) > 2 else 2  # per size
+    OUTFILE = sys.argv[3] if len(sys.argv) > 3 else "BENCH/scaling_4m.json"
 
 
 def _loadavg() -> str:
@@ -45,15 +53,39 @@ def _cooldown(threshold: float = 1.5, max_wait: int = 360) -> None:
     _bench_cooldown(threshold=threshold, max_wait=max_wait)
 
 
-def run_leg(cores: int, tag: str) -> dict:
+def _host_ceiling() -> dict:
+    """Pure-CPU 4-vs-16 process-parallelism probe (scripts/host_calibrate):
+    the speedup the MACHINE offers right now.  Recorded per leg because no
+    engine measurement can exceed it — this sandbox's hypervisor gives
+    ~3.6-3.8x for 4x width even when idle."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "host_calibrate.py"), "4", "16", "5"],
+        capture_output=True, text=True,
+    )
+    try:
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {}
+
+
+def run_leg(cores: int, tag: str, n_hosts: int) -> dict:
+    """One ladder leg, meant to run in its OWN process (main spawns
+    ``--leg`` subprocesses so each leg's JVM heap really is 2 GiB/core)."""
     from bench import _warm_python_workers
 
     from mlscraper_spark.crawl.engine import CrawlConfig, read_fetch_log, run_crawl
     from mlscraper_spark.crawl.synthweb import WebConfig
     from mlscraper_spark.session import get_spark
 
-    _cooldown()
     load_before = _loadavg()
+    # per-core memory parity: a real N->4N cluster quadruples BOTH cores
+    # and memory; a fixed heap would starve only the wide leg (4x the
+    # concurrent tasks in the same execution memory -> spill/GC that a
+    # real 4N-executor cluster would never see)
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{2 * cores}g"
     spark = get_spark(f"scaling4m-{tag}", master=f"local[{cores}]",
                       shuffle_partitions=32)
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -61,12 +93,12 @@ def run_leg(cores: int, tag: str) -> dict:
 
     from pyspark.sql import functions as F
 
-    web = WebConfig(n_hosts=N_HOSTS, max_pages_per_host=40, links_per_page=4)
+    web = WebConfig(n_hosts=n_hosts, max_pages_per_host=40, links_per_page=4)
     # distributed seed source (same URLs as the list comprehension over
     # web.host_name, generated executor-side): a driver list at this width
     # ships ~8 MB inside every task binary — a cores-independent fixed
     # cost that the N-vs-4N ratio measures as anti-scaling
-    seeds = spark.range(N_HOSTS).select(
+    seeds = spark.range(n_hosts).select(
         F.format_string("http://host%d.test/page/0", F.col("id")).alias("raw")
     )
     workdir = f"/tmp/scaling4m_{tag}"
@@ -87,12 +119,34 @@ def run_leg(cores: int, tag: str) -> dict:
     }
 
 
+def _spawn_leg(cores: int, tag: str) -> dict:
+    """Cooldown, record the host's pure-CPU parallelism ceiling, then run
+    the leg in a fresh process (its own JVM)."""
+    import subprocess
+
+    _cooldown()
+    calib = _host_ceiling()
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_TRACE", None)  # gate legs measure the engine, not
+    # the trace's extra attribution actions; run diagnostics separately
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--leg", str(cores),
+         str(N_HOSTS), tag],
+        capture_output=True, text=True, env=env,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    leg = json.loads(line)
+    leg["host_ceiling_16v4"] = calib.get("speedup")
+    return leg
+
+
 def main():
     legs = []
     for i in range(LEGS):
-        legs.append(run_leg(16, f"n16_{i}"))
+        legs.append(_spawn_leg(16, f"n16_{i}"))
         print(json.dumps(legs[-1]), flush=True)
-        legs.append(run_leg(4, f"n4_{i}"))
+        legs.append(_spawn_leg(4, f"n4_{i}"))
         print(json.dumps(legs[-1]), flush=True)
     t16 = min(l["sec"] for l in legs if l["cores"] == 16)
     t4 = min(l["sec"] for l in legs if l["cores"] == 4)
@@ -110,4 +164,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if _LEG_ARGS is not None:
+        cores, n_hosts, tag = _LEG_ARGS
+        print(json.dumps(run_leg(cores, tag, n_hosts)), flush=True)
+    else:
+        main()

@@ -872,3 +872,37 @@ def test_partition_topk_amortized_merges_and_exactness(monkeypatch):
     got = out.sort_values(["host", "url_canon"]).reset_index(drop=True)
     exp = expected[out.columns].sort_values(["host", "url_canon"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_synth_robots_col_matches_python(spark):
+    """SynthWebAdapter.robots_col (the JVM robots stage) must equal
+    json.dumps(adapter.robots(h)) for every host string — including the
+    int-parsing corner shapes the regex spec exists to pin down — and a
+    subclass overriding robots() must NOT inherit the mirror."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mlscraper_spark.crawl.fetchers import SynthWebAdapter
+
+    a = SynthWebAdapter(WEB)
+    hosts = [
+        "host0.test", "host2.test", "host7.test", "host12.test",
+        "host2", "host02.test", "host2.test:8080", "host2:8080",
+        "host2.test.evil", "host-3.test", "host+2.test", "host1_2.test",
+        "host2.", "host2.a\rb", "host2.a\nb", "xhost2.test", "hostx.test",
+        "HOST2.TEST", "host99999999999999999999.test",  # 20 digits: > {1,18}
+        "host999999999999999997.test",  # 18 digits, %5 == 2
+        "", "host", "host.test", "2.test",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r.host: r.rules for r in df.select(
+        "host", a.robots_col(F.col("host")).alias("rules")).collect()}
+    for h in hosts:
+        assert got[h] == _json.dumps(a.robots(h)), h
+
+    class Override(SynthWebAdapter):
+        def robots(self, host):
+            return ["/"]
+
+    assert Override(WEB).robots_col(F.col("host")) is None

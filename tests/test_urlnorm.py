@@ -92,3 +92,59 @@ def test_canonicalize_series_equals_rowwise(urls):
         assert canon == want, u
         assert host == urlsplit(want).netloc, u
         assert path == urlsplit(want).path, u
+
+
+def _adversarial_url_corpus() -> list:
+    """Cross-product of adversarial URL parts: every shape the hypothesis
+    generator above draws from, plus the query/whitespace edges that gate
+    the JVM fast path (percent-escapes, '+', ';', double '=', empty pairs,
+    unicode whitespace at path edges, ports, userinfo, IDN)."""
+    schemes = ["http", "HTTP", "https", "a+b-c.d"]
+    hosts = ["h.test", "HOST7.TEST", "h-x.y.z", "h.test.",
+             "xn--bcher-kva.example", "user:pw@h.test", "h.test:8080"]
+    paths = ["", "/", "/p/1", "/A b/C", "/a:b;c", "/%20x", "/a\tb",
+             "/p ", "/p ", "/~u/x_y.z-q"]
+    queries = ["", "?b=2&a=1", "?z=", "?a=1&a=0", "?a==b", "?a%20b=1",
+               "?a+b=c", "?a=1;b=2", "?k", "?=v", "?a=1&&b=2",
+               "?K.x~y-z_w=V.a~b-c_d", "?a=1?b=2"]
+    frags = ["", "#f", "#", "#a#b"]
+    out = []
+    for s in schemes:
+        for h in hosts:
+            for p in paths:
+                for q in queries[:7]:
+                    out.append(f"{s}://{h}{p}{q}")
+    for q in queries:
+        for f in frags:
+            out.append(f"http://h.test/p{q}{f}")
+    out += ["", " ", " http://h.test/p", " http://h.test/p ",
+            "http://h.test/p ", "not a url", "/relative/only",
+            "http://", "http:///p", "日本語", None]
+    return out
+
+
+def test_jvm_canonicalize_matches_pandas_reference(spark):
+    """canonicalize_frame (the JVM-expression hot path + masked residue
+    UDF) must equal canonicalize_series — the property-pinned reference —
+    on every adversarial shape, including rows the canonicalizer rejects
+    (None through both paths)."""
+    import pandas as pd
+
+    from mlscraper_spark.crawl.engine import canonicalize_frame
+
+    urls = _adversarial_url_corpus()
+    ref = canonicalize_series(pd.Series(urls, dtype=object))
+    # canonicalize_series stringifies NaN/None via astype(str); mirror the
+    # engine's contract instead: a NULL href row yields NULL columns
+    df = spark.createDataFrame([(u,) for u in urls], "raw string")
+    got = {
+        r.raw: (r.url_canon, r.host, r.path)
+        for r in canonicalize_frame(df, "raw").collect()
+    }
+    for i, u in enumerate(urls):
+        if u is None:
+            assert got[u] == (None, None, None)
+            continue
+        want = (ref["url_canon"][i], ref["host"][i], ref["path"][i])
+        want = tuple(None if pd.isna(x) else x for x in want)
+        assert got[u] == want, (u, got[u], want)
