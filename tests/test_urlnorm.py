@@ -119,7 +119,16 @@ def _adversarial_url_corpus() -> list:
             out.append(f"http://h.test/p{q}{f}")
     out += ["", " ", " http://h.test/p", " http://h.test/p ",
             "http://h.test/p ", "not a url", "/relative/only",
-            "http://", "http:///p", "日本語", None]
+            "http://", "http:///p", "日本語", None,
+            # '://' and '&'/'=' shapes inside path/query: the JVM piece
+            # extraction must split on the FIRST '://', and the query gate
+            # must reject pairs urlencode would re-quote -- including keys
+            # that prefix other keys (the tuple-vs-string sort edge)
+            "http://h.test/p://x", "http://h.test/p://x?a=1",
+            "http://h.test/redirect?u=http://x.test/y",
+            "http://h.test/p?a=1&a=0&b=", "http://h.test/p?aa=1&a=2",
+            "http://h.test/p?a1=1&a=2", "http://h.test/p?a,b=1",
+            "http://h.test/p?", "http://h.test/p?&", "http://h.test/p?a=1&"]
     return out
 
 
