@@ -309,8 +309,14 @@ def canonicalize_frame(df: DataFrame, raw_col: str) -> DataFrame:
     )
     scheme = F.lower(pre.substr(F.lit(1), sp - F.lit(1)))
     path_f = F.when(path_raw == "", "/").otherwise(path_raw)
+    # sort_array, NOT array_sort: array_sort carries an implicit lambda
+    # comparator (a higher-order function), and ONE non-codegen expression
+    # drops this whole Project to interpreted eval — per-row boxed
+    # allocation that collapses wide-parallelism scaling (measured: the
+    # 16-core 4M leg ran 2-3x slower than with codegen restored, while the
+    # 4-core leg barely moved).  sort_array(asc) is the plain expression.
     q_sorted = F.translate(
-        F.array_join(F.array_sort(F.split(F.translate(q, "=", ","), "&")), "&"),
+        F.array_join(F.sort_array(F.split(F.translate(q, "=", ","), "&")), "&"),
         ",", "=",
     )
     canon_f = F.concat(
@@ -409,7 +415,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
     # cache: robots is broadcast into the frontier filter AND written below
     robots = _robots_rules_df(spark, frontier.select("host").distinct(), 0,
                               adapter).cache()
-    frontier = _filter_robots(frontier, robots).select(
+    frontier = _filter_robots(frontier, robots, adapter).select(
         "url_canon", "url_hash", "host", "host_bucket",
         "priority", "depth", "discovered_epoch",
     ).dropDuplicates(["url_canon"]).cache()
@@ -500,15 +506,32 @@ def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
     return hosts.mapInPandas(_rules, ROBOTS_SCHEMA)
 
 
-def _filter_robots(df: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop rows whose path matches a disallow prefix (broadcast join J8)."""
+def _filter_robots(df: DataFrame, robots: DataFrame,
+                   adapter=None) -> DataFrame:
+    """Drop rows whose path matches a disallow prefix (J8).
+
+    Two plans, same semantics: when the adapter supplies
+    ``robots_blocked_col`` (rules a pure function of the host), the filter
+    is a single codegen predicate — no join, no broadcast build, nothing
+    serial on the driver.  Otherwise a broadcast join against the resolved
+    rules table; pure-function rules make the two identical because every
+    table row was itself produced by the adapter."""
     # coalesce: parse_url yields NULL for URLs java.net.URI rejects; the
     # oracle's urlsplit returns '' there — NULL would nullify exists() and
     # silently drop the row, diverging from the oracle
-    with_path = df.withColumn(
-        "path",
-        F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("")),
+    path_expr = F.coalesce(
+        F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("")
     )
+    blocked_col = (
+        getattr(adapter, "robots_blocked_col", lambda h, p: None)(
+            F.col("host"), path_expr
+        )
+        if adapter is not None
+        else None
+    )
+    if blocked_col is not None:
+        return df.filter(~blocked_col)
+    with_path = df.withColumn("path", path_expr)
     # broadcast only hosts with NON-EMPTY rules: a host absent from the
     # build side left-joins to null → rules [] → not blocked, exactly the
     # empty-rules outcome — and most hosts have no rules, so the broadcast
@@ -1080,7 +1103,7 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     ).cache()
     _caches.append(robots_new)
     robots_all = robots.unionByName(robots_new)
-    disc = _filter_robots(disc, robots_all)
+    disc = _filter_robots(disc, robots_all, fetch_adapter or SynthWebAdapter(web))
     disc = _with_host_bucket(disc, cfg).withColumn(
         "url_hash", F.xxhash64("url_canon")
     ).withColumn("discovered_epoch", F.lit(epoch + 1))

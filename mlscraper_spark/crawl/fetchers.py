@@ -54,6 +54,17 @@ class FetchAdapter:
         ``HttpFetchAdapter`` cannot (rules come from network fetches)."""
         return None
 
+    def robots_blocked_col(self, host_col, path_col):
+        """OPTIONAL JVM fast path for the robots FILTER: a boolean Column
+        equal to ``any(path.startswith(p) for p in self.robots(host))``,
+        or None (default).  When provided, the engine filters seeds and
+        discoveries with this expression directly — no robots broadcast
+        join on the hot path at all (the robots table is still written for
+        bookkeeping).  Only sound when rules are a pure function of the
+        host (time-invariant by construction), which is the same condition
+        as ``robots_col``."""
+        return None
+
 
 @dataclass(frozen=True)
 class SynthWebAdapter(FetchAdapter):
@@ -85,13 +96,28 @@ class SynthWebAdapter(FetchAdapter):
             return None
         from pyspark.sql import functions as F
 
+        return F.when(
+            self._robots_hit(host_col), F.lit('["/private/"]')
+        ).otherwise(F.lit("[]"))
+
+    @staticmethod
+    def _robots_hit(host_col):
+        from pyspark.sql import functions as F
+
         idx = F.regexp_extract(
             host_col, r"^host([0-9]{1,18})(\.[\s\S]*)?$", 1
         )
-        return F.when(
-            (idx != "") & (F.pmod(idx.cast("bigint"), F.lit(5)) == 2),
-            F.lit('["/private/"]'),
-        ).otherwise(F.lit("[]"))
+        return (idx != "") & (F.pmod(idx.cast("bigint"), F.lit(5)) == 2)
+
+    def robots_blocked_col(self, host_col, path_col):
+        """``path.startswith('/private/')`` on rule-bearing hosts — plain
+        codegen expressions, equal to the python filter semantics over
+        ``robots_disallow`` for every (host, path) (the rules list is
+        ['/private/'] or []).  Withdraws with ``robots_col`` if a subclass
+        overrides ``robots``."""
+        if type(self).robots is not SynthWebAdapter.robots:
+            return None
+        return self._robots_hit(host_col) & path_col.startswith("/private/")
 
 
 def parse_links_and_images(body: bytes) -> tuple[list[str], int]:

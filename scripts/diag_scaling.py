@@ -182,6 +182,32 @@ def main():
         )
         prev_end = max(prev_end or e0, e0)
     out_jobs.sort(key=lambda x: -(x["gap_before_s"]))
+    # SQL node metrics: per-operator attribution for the heaviest queries
+    sql_heavy = []
+    try:
+        for qd in _get("/sql?details=true&planDescription=false&length=200"):
+            dur = qd.get("duration", 0)
+            nodes = []
+            for n in qd.get("nodes", []):
+                m = {mm["name"]: mm["value"] for mm in n.get("metrics", [])}
+                keep = {
+                    k: m[k]
+                    for k in ("time in aggregation build", "duration",
+                              "time to build", "task commit time",
+                              "shuffle write time", "time in compression",
+                              "cache hits", "number of output rows")
+                    if k in m
+                }
+                if keep:
+                    nodes.append({"node": n["nodeName"][:60], **keep})
+            sql_heavy.append(
+                {"id": qd["id"], "dur_ms": dur,
+                 "desc": (qd.get("description") or "")[:80], "nodes": nodes}
+            )
+        sql_heavy.sort(key=lambda x: -x["dur_ms"])
+        sql_heavy = sql_heavy[:6]
+    except Exception as e:
+        sql_heavy = [{"err": str(e)}]
     result = {
         "cores": CORES,
         "n_hosts": N_HOSTS,
@@ -198,6 +224,7 @@ def main():
         "sum_spill_mb": round(sum(s["spill_mb"] for s in out_stages), 1),
         "stages": out_stages[:40],
         "jobs_by_gap": out_jobs[:30],
+        "sql_heavy": sql_heavy,
     }
     with open(OUTFILE, "w") as f:
         json.dump(result, f, indent=1)

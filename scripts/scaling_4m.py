@@ -84,8 +84,11 @@ def run_leg(cores: int, tag: str, n_hosts: int) -> dict:
     # per-core memory parity: a real N->4N cluster quadruples BOTH cores
     # and memory; a fixed heap would starve only the wide leg (4x the
     # concurrent tasks in the same execution memory -> spill/GC that a
-    # real 4N-executor cluster would never see)
-    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{2 * cores}g"
+    # real 4N-executor cluster would never see).  Capped at 30g: a >=32g
+    # JVM heap disables compressed oops, which measurably SLOWED the
+    # 16-core 4M leg ~2.5x (957s vs ~380s) — the same reason production
+    # Spark executors are sized <=31g
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{min(30, 2 * cores)}g"
     spark = get_spark(f"scaling4m-{tag}", master=f"local[{cores}]",
                       shuffle_partitions=32)
     spark.range(1000).selectExpr("sum(id)").collect()

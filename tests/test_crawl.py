@@ -901,8 +901,26 @@ def test_synth_robots_col_matches_python(spark):
     for h in hosts:
         assert got[h] == _json.dumps(a.robots(h)), h
 
+    # the blocked-col filter seam: equal to the python prefix-filter
+    # semantics for every (host, path)
+    paths = ["/private/3", "/private", "/page/1", "", "/PRIVATE/x"]
+    pdf = spark.createDataFrame(
+        [(h, p) for h in hosts if h for p in paths], "host string, path string"
+    )
+    got_b = {(r.host, r.path): r.blocked for r in pdf.select(
+        "host", "path",
+        a.robots_blocked_col(F.col("host"), F.col("path")).alias("blocked"),
+    ).collect()}
+    for h in hosts:
+        if h is None or not h:
+            continue
+        for p in paths:
+            want = any(p.startswith(rule) for rule in a.robots(h))
+            assert got_b[(h, p)] == want, (h, p)
+
     class Override(SynthWebAdapter):
         def robots(self, host):
             return ["/"]
 
     assert Override(WEB).robots_col(F.col("host")) is None
+    assert Override(WEB).robots_blocked_col(F.col("host"), F.col("host")) is None
