@@ -1039,7 +1039,9 @@ def q21_cosine_topk(spark, sf_dir):
     scale path replaces the crossJoin with the LSH bucketing of q22.
     """
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        # plain Cast, not F.transform(lambda): one higher-order function
+        # drops the whole projection out of codegen into interpreted eval
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1073,7 +1075,9 @@ def q22_ann_lsh(spark, sf_dir):
     """ANN scale path: sign-LSH bucketing on the first 8 components, exact
     cosine within bucket only (bucket-equi-join replaces the crossJoin)."""
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        # plain Cast, not F.transform(lambda): one higher-order function
+        # drops the whole projection out of codegen into interpreted eval
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bucket = sum(
         (F.when(F.element_at("v", j + 1) > 0, 1 << j).otherwise(0) for j in range(8)),
@@ -1130,7 +1134,9 @@ def q29_ann_ivf(spark, sf_dir):
     collect.
     """
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        # plain Cast, not F.transform(lambda): one higher-order function
+        # drops the whole projection out of codegen into interpreted eval
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
@@ -1289,7 +1295,9 @@ def q27_embedding_neardup(spark, sf_dir):
     double arithmetic as Spark's ``_cosine`` — so the threshold compare is
     bit-exact between engines (a boundary pair can never flip the row set)."""
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        # plain Cast, not F.transform(lambda): one higher-order function
+        # drops the whole projection out of codegen into interpreted eval
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bucket = sum(
         (F.when(F.element_at("v", j + 1) > 0, 1 << j).otherwise(0) for j in range(8)),
