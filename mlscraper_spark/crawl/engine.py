@@ -668,9 +668,13 @@ def _assign_global_seq(spark: SparkSession, df: DataFrame) -> tuple[DataFrame, i
     driver action costs ~0.5 s of plan+submit regardless of cluster size;
     the epoch loop's actions are a measured serial term in the N-vs-4N
     scaling ladder)."""
-    k = 1
-    while (1 << k) < spark.sparkContext.defaultParallelism * 2:
-        k += 1
+    # K is a CONSTANT, not cores×2: seq is total-order-invariant under any
+    # K (tested), so tying it to defaultParallelism only made the plan —
+    # and the window's task sizes — differ between cluster widths for no
+    # semantic reason.  128 buckets × depth keeps each pid's local sort
+    # small at any realistic epoch width while the offsets collect stays
+    # O(depths×128) rows.
+    k = 7
     K = 1 << k
     bucket = F.shiftright(F.col("url_hash"), 64 - k) + F.lit(1 << (k - 1))
     ranked = df.withColumn(
@@ -1051,17 +1055,17 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
                     _t, fmt, fetch_adapter=None):
     # ---- fetch + parse (S4, Arrow-batched, spread by url_hash) ---------
     fetch_fn, fetch_schema = _fetch_udf(web, fetch_adapter)
-    # 4 waves per core, capped by config, FLOORED so no task fetches more
-    # than ~50k URLs — the maxPartitionBytes-style bound for the fetch
-    # stage: a few-core cluster at a multi-million-URL epoch otherwise
-    # gets quarter-million-row Arrow tasks (worst-case fetch-result
-    # memory per python worker, and a retry re-fetches the whole chunk).
-    # Note the 4-core 4M-URL leg's superlinear width cost was NOT cured
-    # by this bound alone (measured 1190→1423 s across two runs on a
-    # bursty host) — kept for the memory/retry-granularity argument, not
-    # as a claimed speedup.  Partition count never changes results
-    # (politeness is enforced upstream), only task granularity.
-    n_fetch = max(spark.sparkContext.defaultParallelism * 4,
+    # Task count is a function of DATA SIZE (one task per ~50k URLs — the
+    # maxPartitionBytes analog: bounds worst-case fetch-result memory per
+    # python worker and retry re-fetch granularity), floored at the core
+    # count so a small epoch still uses the whole cluster.  Data-sized,
+    # not cores×K-sized, because every python task carries a measured
+    # ~0.2-0.3 s of fixed overhead (Arrow stream + worker round-trip):
+    # a 4-waves-per-core policy made the per-epoch overhead GROW with
+    # cluster width — the N-vs-4N ladder bills that directly to the wide
+    # side.  Partition count never changes results (politeness is
+    # enforced upstream), only task granularity.
+    n_fetch = max(spark.sparkContext.defaultParallelism,
                   n_selected // 50_000 + 1)
     if cfg.fetch_partitions is not None:
         n_fetch = min(cfg.fetch_partitions, n_fetch)
