@@ -278,12 +278,18 @@ def _collect_fingerprints(filters_df: DataFrame) -> dict:
 # eval; measured ~350 µs/row, 5x SLOWER than the Arrow/pandas stage this
 # replaces) and one regex execution per gate.  The piece extraction uses
 # substring arithmetic, not per-piece regexp_extract.
-_JVM_WS = "\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+# - (FS/GS/RS/US) are python-strippable (str.isspace) but NOT
+# in Java \s, so the class lists them explicitly; anchoring is \z (true
+# end-of-input), NOT '$' — Java '$' (via RLike's find()) also matches just
+# before one trailing line terminator, so 'http://h/p\n' would pass the
+# gate while python's strip() removes the \n.
+_JVM_WS = ("\\s\\u001C-\\u001F\\u0085\\u00A0\\u1680\\u2000-\\u200A"
+           "\\u2028\\u2029\\u202F\\u205F\\u3000")
 _JVM_PRE_RE = (
-    "^[A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+(/[^?#" + _JVM_WS + "]*)?$"
+    "^[A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+(/[^?#" + _JVM_WS + "]*)?\\z"
 )
 _JVM_Q_RE = (
-    "^[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*(&[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*)*$"
+    "^[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*(&[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*)*\\z"
 )
 
 
@@ -384,7 +390,6 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
     fmt = get_table_format(spark)
     if isinstance(seeds, DataFrame):
         raw = seeds.select(F.col(seeds.columns[0]).cast("string").alias("raw"))
-        n_seeds = None  # resolved from the canonicalized set below
     else:
         # Arrow path (one pandas column), not createDataFrame(list-of-tuples):
         # row-by-row conversion serializes the whole seed list on the DRIVER —
@@ -394,7 +399,6 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
         # (pandas object column with no rows → "can not infer schema")
         raw = spark.createDataFrame(pd.DataFrame({"raw": seeds}),
                                     schema="raw string")
-        n_seeds = len(seeds)
     # cache: the canonicalized seed set feeds BOTH the robots host scan and
     # the frontier build — uncached, the canonicalize UDF pipeline re-runs
     # for every consumer (measured 3× on the seed path)
@@ -428,11 +432,12 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
         _t = _trace("seed-plan/robots", _t)
     bucket_rows = frontier.groupBy("host_bucket").count().collect()
     buckets = sorted(r.host_bucket for r in bucket_rows)
-    if n_seeds is None:
-        # DataFrame seed source: the manifest count is the seeded frontier
-        # (canonicalized, deduped, robots-filtered) — it falls out of the
-        # bucket collect above, so the DataFrame path costs no extra action
-        n_seeds = sum(r["count"] for r in bucket_rows)
+    # manifest count = the seeded FRONTIER (canonicalized, deduped,
+    # robots-filtered) for BOTH seed sources — it falls out of the bucket
+    # collect above, so neither path costs an extra action.  (Recording the
+    # raw pre-filter list length for the list path, as earlier rounds did,
+    # made the same crawl seeded two ways write different manifests.)
+    n_seeds = sum(r["count"] for r in bucket_rows)
     _t = _trace("seed-plan", _t)
 
     d = _snap_dir(root, -1)

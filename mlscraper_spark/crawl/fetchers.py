@@ -104,8 +104,11 @@ class SynthWebAdapter(FetchAdapter):
     def _robots_hit(host_col):
         from pyspark.sql import functions as F
 
+        # \z not '$': Java '$' also matches before one trailing line
+        # terminator, so a host like 'host2\n' would wrongly read as
+        # rule-bearing while python's re.fullmatch rejects it.
         idx = F.regexp_extract(
-            host_col, r"^host([0-9]{1,18})(\.[\s\S]*)?$", 1
+            host_col, "^host([0-9]{1,18})(\\.[\\s\\S]*)?\\z", 1
         )
         return (idx != "") & (F.pmod(idx.cast("bigint"), F.lit(5)) == 2)
 

@@ -11,7 +11,10 @@ Scope (documented subset of ITU-T T.81):
   Huffman tables, JFIF APP0;
 * decoder: baseline SOF0, 8-bit, 1- or 3-component, 4:4:4 only (the
   shapes this repo's encoder emits, plus grayscale), DQT/DHT taken from
-  the stream (NOT assumed), restart markers ignored-if-absent.
+  the stream (NOT assumed), DRI/RSTn restart intervals honored (DC
+  predictors reset + byte-aligned reader restart at every RST marker,
+  T.81 §E.2.4 — so externally encoded streams with restarts decode
+  correctly, not silently corrupt).
 
 The decoder reads every table from the file, so any standards-compliant
 baseline 4:4:4 JPEG decodes here, and files encoded here carry complete
@@ -286,9 +289,13 @@ def _encode_block(writer: _BitWriter, zz: np.ndarray, pred: int,
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 95,
-                grayscale: bool = False) -> bytes:
+                grayscale: bool = False,
+                restart_interval: int = 0) -> bytes:
     """RGB uint8 (h, w, 3) -> baseline JFIF bytes (4:4:4, or 1-component
-    luma-only when ``grayscale``)."""
+    luma-only when ``grayscale``).  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs (T.81 §E.2.4) — mainly
+    exercised by tests so the decoder's restart path is pinned against a
+    real stream; production encodes default to 0 (no restarts)."""
     h, w, _ = img.shape
     assert h > 0 and w > 0 and h < 65536 and w < 65536
     ncomp = 1 if grayscale else 3
@@ -323,6 +330,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 95,
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid, tbl in ((1, 0x00), (2, 0x11), (3, 0x11))[:ncomp]:
         out += struct.pack(">BB", cid, tbl)
@@ -331,8 +340,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 95,
     writer = _BitWriter()
     nby, nbx = planes[0].shape[:2]
     preds = [0] * ncomp
+    mcu = rst = 0
     for by in range(nby):
         for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()  # byte-align, 1-padded
+                out += writer.out + bytes([0xFF, 0xD0 | (rst & 7)])
+                rst += 1
+                writer = _BitWriter()
+                preds = [0] * ncomp
+            mcu += 1
             for c in range(ncomp):
                 preds[c] = _encode_block(
                     writer, planes[c][by, bx], preds[c],
@@ -360,6 +377,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int]] = []  # (cid, sampling, tq)
     h = w = 0
+    restart_interval = 0  # DRI; 0 = no restarts (this encoder's output)
     scan_comps: list[tuple[int, int, int]] = []  # (cid, dc_table, ac_table)
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -405,6 +423,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan_comps = []
@@ -415,34 +435,51 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     else:
         raise ValueError("jpeg: no scan found")
 
-    # unstuff entropy bytes up to EOI; drop restart markers
-    raw = bytearray()
+    # unstuff entropy bytes up to EOI, splitting at restart markers: each
+    # RSTn starts a fresh entropy segment (byte-aligned bit reader, DC
+    # predictors reset) per T.81 §E.2.4/F.2.1.3.1 — required for externally
+    # encoded streams with DRI; this encoder itself never emits them
+    segments: list[bytearray] = [bytearray()]
     i = pos
     while i < len(data) - 1:
         b = data[i]
         if b == 0xFF:
             nxt = data[i + 1]
             if nxt == 0x00:
-                raw.append(0xFF)
+                segments[-1].append(0xFF)
                 i += 2
                 continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: skip (predictors reset below is
-                i += 2               # unnecessary — we never emit them)
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytearray())
+                i += 2
                 continue
             break  # EOI or another marker
-        raw.append(b)
+        segments[-1].append(b)
         i += 1
+    if restart_interval == 0 and len(segments) > 1:
+        # RSTs without a DRI declaration: malformed, but harmless to treat
+        # as plain byte boundaries (predictors continue) — legacy behavior
+        segments = [bytearray(b"".join(bytes(s) for s in segments))]
 
     if not comps or h == 0 or w == 0:
         raise ValueError("jpeg: missing SOF0")
     nby, nbx = (h + _N - 1) // _N, (w + _N - 1) // _N
     nc = len(comps)
     coeffs = np.zeros((nc, nby, nbx, 64), dtype=np.float64)
-    reader = _BitReader(bytes(raw))
+    seg_idx = 0
+    reader = _BitReader(bytes(segments[seg_idx]))
     preds = [0] * nc
+    mcu = 0
     comp_tables = {cid: (dc_t, ac_t) for cid, dc_t, ac_t in scan_comps}
     for by in range(nby):
         for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("jpeg: missing RST marker")
+                reader = _BitReader(bytes(segments[seg_idx]))
+                preds = [0] * nc
+            mcu += 1
             for c, (cid, _, tq) in enumerate(comps):
                 dc_t, ac_t = comp_tables[cid]
                 dc_tab, ac_tab = huff[(0, dc_t)], huff[(1, ac_t)]

