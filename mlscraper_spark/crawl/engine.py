@@ -278,7 +278,7 @@ def _collect_fingerprints(filters_df: DataFrame) -> dict:
 # eval; measured ~350 µs/row, 5x SLOWER than the Arrow/pandas stage this
 # replaces) and one regex execution per gate.  The piece extraction uses
 # substring arithmetic, not per-piece regexp_extract.
-# - (FS/GS/RS/US) are python-strippable (str.isspace) but NOT
+# U+001C-U+001F (FS/GS/RS/US) are python-strippable (str.isspace) but NOT
 # in Java \s, so the class lists them explicitly; anchoring is \z (true
 # end-of-input), NOT '$' — Java '$' (via RLike's find()) also matches just
 # before one trailing line terminator, so 'http://h/p\n' would pass the
@@ -513,7 +513,8 @@ def _robots_rules_df(spark: SparkSession, hosts_df: DataFrame, epoch: int,
 
 def _filter_robots(df: DataFrame, robots: DataFrame,
                    adapter=None) -> DataFrame:
-    """Drop rows whose path matches a disallow prefix (J8).
+    """Drop rows ``fetchers.robots_blocked`` blocks: RFC 9309 longest-match
+    over ``+``-encoded Allow / plain Disallow prefixes (J8).
 
     Two plans, same semantics: when the adapter supplies
     ``robots_blocked_col`` (rules a pure function of the host), the filter
@@ -546,7 +547,28 @@ def _filter_robots(df: DataFrame, robots: DataFrame,
     )
     joined = with_path.join(F.broadcast(rules_nonempty), "host", "left")
     rules = F.from_json(F.coalesce(F.col("rules_json"), F.lit("[]")), "array<string>")
-    blocked = F.exists(rules, lambda p: F.col("path").startswith(p))
+    # RFC 9309 longest-match, the JVM mirror of fetchers.robots_blocked:
+    # longest matching Disallow must strictly beat the longest matching
+    # Allow ('+'-prefixed; ties -> allow).  HOFs are fine on THIS path —
+    # it only runs for adapters without a pure-function robots_blocked_col
+    # (e.g. HttpFetchAdapter), where the broadcast join already dominates.
+    path = F.col("path")
+    dis_len = F.array_max(F.transform(
+        rules,
+        lambda r: F.when(
+            (r.substr(1, 1) != "+") & path.startswith(r), F.length(r)
+        ).otherwise(F.lit(-1)),
+    ))
+    alw_len = F.array_max(F.transform(
+        rules,
+        lambda r: F.when(
+            (r.substr(1, 1) == "+")
+            & path.startswith(r.substr(F.lit(2), F.length(r))),
+            F.length(r) - 1,
+        ).otherwise(F.lit(-1)),
+    ))
+    blocked = (F.coalesce(dis_len, F.lit(-1))
+               > F.coalesce(alw_len, F.lit(-1)))
     return joined.filter(~blocked).drop("path", "rules_json")
 
 

@@ -6,8 +6,10 @@ never touches frontier/politeness/seen-check/snapshot logic:
 
 * ``fetch(url_canon) -> (status, body_bytes)``
 * ``response_meta(url_canon, status, body) -> (raw_hrefs, n_images)``
-* ``robots(host) -> disallow_prefixes`` — the robots.txt resolution for a
-  host (engine ``_robots_rules_df`` caches one row per host per crawl)
+* ``robots(host) -> rule_prefixes`` — the robots.txt resolution for a
+  host (engine ``_robots_rules_df`` caches one row per host per crawl);
+  entries starting with ``+`` are Allow prefixes, all others Disallow
+  (see ``robots_blocked`` for the longest-match semantics)
 
 ``SynthWebAdapter`` (the default) binds the deterministic synthetic web
 that every oracle-equivalence test pins.  ``HttpFetchAdapter`` is the
@@ -39,8 +41,15 @@ class FetchAdapter:
         raise NotImplementedError
 
     def robots(self, host: str) -> list[str]:
-        """Disallow path-prefixes for the host (engine semantics: a URL is
-        blocked iff its path starts with any returned prefix)."""
+        """Rule path-prefixes for the host.  A plain entry is a Disallow
+        prefix; an entry starting with ``+`` is an Allow prefix (the ``+``
+        stripped before matching — URL paths always start with ``/``, so
+        the sigil is unambiguous).  A URL is blocked per RFC 9309 §2.2.2
+        longest-match: the longest matching rule decides, Allow winning
+        length ties — see ``robots_blocked``, the reference predicate the
+        engine's JVM filter mirrors.  A pure-disallow list (every adapter
+        before Allow support, and the synthetic web today) behaves exactly
+        as the old "blocked iff any prefix matches" contract."""
         raise NotImplementedError
 
     def robots_col(self, host_col):
@@ -56,7 +65,7 @@ class FetchAdapter:
 
     def robots_blocked_col(self, host_col, path_col):
         """OPTIONAL JVM fast path for the robots FILTER: a boolean Column
-        equal to ``any(path.startswith(p) for p in self.robots(host))``,
+        equal to ``robots_blocked(path, self.robots(host))``,
         or None (default).  When provided, the engine filters seeds and
         discoveries with this expression directly — no robots broadcast
         join on the hot path at all (the robots table is still written for
@@ -123,6 +132,24 @@ class SynthWebAdapter(FetchAdapter):
         return self._robots_hit(host_col) & path_col.startswith("/private/")
 
 
+def robots_blocked(path: str, rules: list[str]) -> bool:
+    """RFC 9309 §2.2.2 longest-match over encoded rules (``+`` = Allow):
+    the longest matching prefix decides; an Allow of equal length beats a
+    Disallow ("the least restrictive rule SHOULD be used").  With no Allow
+    entries this is exactly "any disallow prefix matches" — the engine's
+    original contract — so pure-disallow rule sets (the synthetic web, all
+    pre-Allow tables) are bit-compatible.  The engine's JVM predicate
+    (engine._filter_robots) mirrors this function; a divergence would split
+    engine from oracle, so tests pin them equal over adversarial rules."""
+    best_dis = max((len(r) for r in rules
+                    if not r.startswith("+") and path.startswith(r)),
+                   default=-1)
+    best_alw = max((len(r) - 1 for r in rules
+                    if r.startswith("+") and path.startswith(r[1:])),
+                   default=-1)
+    return best_dis > best_alw
+
+
 def parse_links_and_images(body: bytes) -> tuple[list[str], int]:
     """Anchor hrefs + <img> count via the full DOM parser (recovery
     semantics: garbage bytes yield an empty result, never an exception)."""
@@ -139,7 +166,9 @@ def parse_links_and_images(body: bytes) -> tuple[list[str], int]:
 
 
 def parse_robots_txt(body: bytes, user_agent: str) -> list[str]:
-    """Disallow prefixes from a robots.txt body, REP group semantics:
+    """Rule prefixes from a robots.txt body (``+``-encoded Allow, plain
+    Disallow — ``robots_blocked`` is the matching predicate), REP group
+    semantics:
 
     * lines are ``field: value`` with ``#`` comments; unknown fields and
       blank lines are ignored (blank lines do NOT close a group — rule
@@ -152,13 +181,15 @@ def parse_robots_txt(body: bytes, user_agent: str) -> list[str]:
     * if any SPECIFIC group matches, only specific groups apply (the RFC's
       most-specific-match, flattened: our UA has one product token, so
       "specific beats *" is the whole ordering);
-    * only ``Disallow`` is honored — the engine's filter is
-      prefix-disallow only (``_filter_robots``); ``Allow``/``Crawl-delay``
-      are ignored, the documented subset.  Empty Disallow = allow = no
-      rule.  Order is preserved, duplicates dropped.
+    * ``Disallow`` and ``Allow`` are both honored with RFC 9309 §2.2.2
+      longest-match precedence (applied by ``robots_blocked``);
+      ``Crawl-delay`` and other extensions are ignored, and ``*``/``$``
+      wildcards inside a path are matched LITERALLY (documented subset —
+      the engine's filter is prefix-match).  Empty value = no rule.
+      Order is preserved, duplicates dropped.
     """
     product = user_agent.split("/")[0].strip().lower()
-    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    groups: list[tuple[list[str], list[str]]] = []  # (agents, rules)
     agents: list[str] = []
     in_agent_run = False
     for raw_line in body.decode("utf-8", "replace").splitlines():
@@ -176,6 +207,8 @@ def parse_robots_txt(body: bytes, user_agent: str) -> list[str]:
             in_agent_run = False
             if field == "disallow" and value and groups:
                 groups[-1][1].append(value)
+            elif field == "allow" and value and groups:
+                groups[-1][1].append("+" + value)
 
     def _matches(agent: str) -> bool:
         return agent != "*" and product.startswith(agent)
@@ -237,17 +270,35 @@ class HttpFetchAdapter(FetchAdapter):
                       body: bytes) -> tuple[list[str], int]:
         if status != 200:
             return [], 0
-        return parse_links_and_images(body)
+        links, n_images = parse_links_and_images(body)
+        # real HTML links relatively ('/a', '../b', 'c?d=1') — resolve
+        # against the fetched URL (RFC 3986 join); the synthetic adapter
+        # never needs this because synthweb emits absolute hrefs only.
+        # An href urljoin rejects (e.g. 'http://[') is dropped like any
+        # unparseable discovery, never a task error.
+        from urllib.parse import urljoin
+
+        resolved = []
+        for href in links:
+            try:
+                resolved.append(urljoin(url_canon, href))
+            except ValueError:
+                pass
+        return resolved, n_images
 
     def robots(self, host: str) -> list[str]:
-        """GET ``http://{host}/robots.txt`` through the same transport
-        (same opener, timeout, size cap, 599-on-failure policy as
-        ``fetch``).  Any non-200 — including 599 transport failures — maps
-        to "no rules" (allow-all): a missing/unreachable robots.txt must
-        not stall the host, and a disallow-all fallback would silently
-        starve every host behind a flaky robots endpoint.  The tradeoff is
-        documented; a stricter deployment can subclass."""
-        status, body = self.fetch(f"http://{host}/robots.txt")
-        if status != 200:
-            return []
-        return parse_robots_txt(body, self.user_agent)
+        """GET ``/robots.txt`` through the same transport (same opener,
+        timeout, size cap, 599-on-failure policy as ``fetch``) — https
+        FIRST, falling back to http on any https non-200 (a modern site
+        serves robots over 443 only; an http-only legacy host still gets
+        its rules from the fallback).  Both non-200 — including 599
+        transport failures — maps to "no rules" (allow-all): a
+        missing/unreachable robots.txt must not stall the host, and a
+        disallow-all fallback would silently starve every host behind a
+        flaky robots endpoint.  The tradeoff is documented; a stricter
+        deployment can subclass."""
+        for scheme in ("https", "http"):
+            status, body = self.fetch(f"{scheme}://{host}/robots.txt")
+            if status == 200:
+                return parse_robots_txt(body, self.user_agent)
+        return []

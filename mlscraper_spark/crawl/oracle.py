@@ -63,8 +63,12 @@ def _robots_blocked(url_canon: str, host: str, epoch: int, state: OracleState,
     rules, _ = state.robots_cache[host]
     from urllib.parse import urlsplit
 
-    path = urlsplit(url_canon).path
-    return any(path.startswith(prefix) for prefix in rules)
+    from mlscraper_spark.crawl.fetchers import robots_blocked
+
+    # shared predicate (RFC 9309 longest-match with '+'-encoded Allow) —
+    # for the synthetic web's pure-disallow rules it equals the original
+    # any(startswith) check bit-for-bit
+    return robots_blocked(urlsplit(url_canon).path, rules)
 
 
 def _insert(state: OracleState, url_canon: str, depth: int, epoch: int,

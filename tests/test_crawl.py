@@ -732,8 +732,12 @@ def test_http_fetch_adapter_contract():
     assert (status, body) == (200, html)
     assert a.fetch("http://x.test/404") == (404, b"")
     assert a.fetch("http://x.test/dead") == (599, b"")
-    links, n_img = a.response_meta("http://x.test/ok", 200, body)
-    assert links == ["/single", "/double", "bare"] and n_img == 2
+    links, n_img = a.response_meta("http://x.test/sub/ok", 200, body)
+    # relative hrefs resolve against the fetched URL (RFC 3986 urljoin):
+    # root-relative, path-relative — real HTML links this way, and an
+    # unresolved '/single' would canonicalize to a phantom empty-host URL
+    assert links == ["http://x.test/single", "http://x.test/double",
+                     "http://x.test/sub/bare"] and n_img == 2
     assert a.response_meta("http://x.test/404", 404, b"") == ([], 0)
     # garbage never raises
     assert parse_links_and_images(b"\x00\xffnot html") == ([], 0)
@@ -763,14 +767,14 @@ def test_fetch_adapter_injected_through_crawl(spark, tmp_path, oracle_state):
 
 def test_robots_txt_parser():
     """parse_robots_txt: group semantics (consecutive UA lines share
-    rules), specific-agent beats *, comments/blank lines/Allow ignored,
-    empty Disallow = no rule, duplicates dropped."""
+    rules), specific-agent beats *, comments/blank lines ignored, Allow
+    kept as '+'-encoded rules, empty Disallow = no rule, dups dropped."""
     from mlscraper_spark.crawl.fetchers import parse_robots_txt
 
     body = (b"# global\n"
             b"User-agent: *\n"
             b"Disallow: /tmp/\n"
-            b"Allow: /tmp/ok\n"          # Allow is outside the subset
+            b"Allow: /tmp/ok\n"          # kept: '+'-encoded allow rule
             b"\n"
             b"Disallow: /cgi/\n"         # blank line does NOT close group
             b"User-agent: googlebot\n"
@@ -783,14 +787,81 @@ def test_robots_txt_parser():
     # our product token matches the specific group -> * group ignored
     assert parse_robots_txt(body, "mlscraper-spark/0.1") == ["/private/"]
     # a UA matching no specific group falls back to *
-    assert parse_robots_txt(body, "otherbot/2.0") == ["/tmp/", "/cgi/"]
+    assert parse_robots_txt(body, "otherbot/2.0") == \
+        ["/tmp/", "+/tmp/ok", "/cgi/"]
     assert parse_robots_txt(b"", "anybot/1.0") == []
     assert parse_robots_txt(b"\xff\xfe garbage", "anybot/1.0") == []
 
 
+def test_robots_allow_longest_match_precedence():
+    """robots_blocked: RFC 9309 §2.2.2 — the LONGEST matching rule
+    decides, Allow winning length ties; no-Allow rule sets degrade to the
+    original any-prefix-disallow contract bit-for-bit."""
+    from mlscraper_spark.crawl.fetchers import (parse_robots_txt,
+                                                robots_blocked)
+
+    rules = parse_robots_txt(
+        b"User-agent: *\n"
+        b"Disallow: /a\n"
+        b"Allow: /a/b\n"
+        b"Disallow: /a/b/c\n"
+        b"Allow: /x\n"
+        b"Disallow: /x\n",      # same length as Allow: /x -> allow wins tie
+        "anybot/1.0")
+    assert rules == ["/a", "+/a/b", "/a/b/c", "+/x", "/x"]
+    assert robots_blocked("/a", rules)            # disallow /a
+    assert robots_blocked("/a/q", rules)          # under /a, no allow
+    assert not robots_blocked("/a/b", rules)      # allow /a/b beats /a
+    assert not robots_blocked("/a/bq", rules)     # prefix semantics
+    assert robots_blocked("/a/b/c/d", rules)      # deepest disallow wins
+    assert not robots_blocked("/x/y", rules)      # tie -> allow
+    assert not robots_blocked("/", rules)         # no rule matches
+    assert not robots_blocked("", rules)
+    # pure-disallow compatibility with the legacy predicate
+    legacy = ["/private/", "/tmp/"]
+    for p in ["/private/x", "/tmp/", "/ok", "", "/privat"]:
+        assert robots_blocked(p, legacy) == \
+            any(p.startswith(r) for r in legacy)
+
+
+def test_engine_robots_filter_matches_python_predicate(spark):
+    """The broadcast-join robots filter (the non-pure-function path) must
+    equal fetchers.robots_blocked for every (rules, path) combination —
+    including Allow rules, length ties, and empty paths — or the engine
+    would diverge from an HttpFetchAdapter-governed oracle."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mlscraper_spark.crawl.engine import _filter_robots
+    from mlscraper_spark.crawl.fetchers import robots_blocked
+
+    rule_sets = {
+        "h0.test": ["/a", "+/a/b", "/a/b/c"],
+        "h1.test": ["+/x", "/x"],
+        "h2.test": ["/private/"],
+        "h3.test": ["+/only-allow"],
+        "h4.test": [],
+    }
+    paths = ["/a", "/a/b", "/a/b/c/d", "/a/bq", "/x/y", "/private/3",
+             "/only-allow/z", "/", "", "/q?k=v"]
+    rows = [(f"http://{h}{p}", h) for h in rule_sets for p in paths]
+    df = spark.createDataFrame(rows, "url_canon string, host string")
+    robots = spark.createDataFrame(
+        [(h, _json.dumps(r), 0) for h, r in rule_sets.items()],
+        "host string, rules_json string, fetched_epoch int")
+    kept = {r.url_canon for r in _filter_robots(df, robots).collect()}
+    for u, h in rows:
+        from urllib.parse import urlsplit
+
+        want_blocked = robots_blocked(urlsplit(u).path, rule_sets[h])
+        assert (u not in kept) == want_blocked, (u, rule_sets[h])
+
+
 def test_http_fetch_adapter_robots_contract():
     """HttpFetchAdapter.robots: GET /robots.txt through the injected
-    opener; 404 and transport failure both mean allow-all (no rules)."""
+    opener, https FIRST with http fallback; 404/transport failure on both
+    schemes means allow-all (no rules)."""
     import io
     import urllib.error
 
@@ -811,18 +882,27 @@ def test_http_fetch_adapter_robots_contract():
 
     def opener(req, timeout):
         seen_urls.append(req.full_url)
+        # tls.test serves robots over https ONLY (the reference's own
+        # example target is https); rules.test is a legacy http-only host
+        if req.full_url == "https://tls.test/robots.txt":
+            return FakeResponse(robots_body)
         if req.full_url == "http://rules.test/robots.txt":
             return FakeResponse(robots_body)
-        if req.full_url == "http://missing.test/robots.txt":
+        if req.full_url.endswith("missing.test/robots.txt"):
             raise urllib.error.HTTPError(req.full_url, 404, "nf", {}, None)
         raise OSError("connection refused")
 
     a = HttpFetchAdapter(opener=opener)
-    assert a.robots("rules.test") == ["/secret/"]  # specific group wins
-    assert a.robots("missing.test") == []          # 404 -> allow-all
-    assert a.robots("dead.test") == []             # 599 -> allow-all
-    assert seen_urls == [f"http://{h}.test/robots.txt"
-                         for h in ("rules", "missing", "dead")]
+    assert a.robots("tls.test") == ["/secret/"]    # https wins, no http try
+    assert a.robots("rules.test") == ["/secret/"]  # https fails -> http
+    assert a.robots("missing.test") == []          # 404 both -> allow-all
+    assert a.robots("dead.test") == []             # 599 both -> allow-all
+    assert seen_urls == [
+        "https://tls.test/robots.txt",
+        "https://rules.test/robots.txt", "http://rules.test/robots.txt",
+        "https://missing.test/robots.txt", "http://missing.test/robots.txt",
+        "https://dead.test/robots.txt", "http://dead.test/robots.txt",
+    ]
 
 
 def test_robots_routed_through_adapter(spark, tmp_path):
