@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from mlscraper_spark.queries import ORACLE_SQL
+    from mlscraper_spark.queries import LAZY_ORACLE_SQL, ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    # lazy oracles (q45 trains a scraper + replays the sequential crawl
+    # oracle to build a VALUES literal) are materialized only when the
+    # parity gate actually asks for SQL
+    out.update({name: build() for name, build in LAZY_ORACLE_SQL.items()})
+    return out

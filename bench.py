@@ -57,7 +57,16 @@ def _cooldown(threshold: float = 1.5, max_wait: int = 240) -> None:
 
 
 def main():
+    # gate the WHOLE run on a calm host, not just section boundaries: the
+    # r4 driver bench started at loadavg 10.7 and read 3x the same-day idle
+    # record (BENCH/bench_r4_idle.json) — a loaded-host headline is an
+    # artifact, not a measurement.  Wait up to BENCH_COOLDOWN_MAX s (default
+    # 10 min) for loadavg < 2; if the host never calms, run anyway but
+    # stamp cooldown_met=false so the record is self-identifying.
+    cd_max = int(os.environ.get("BENCH_COOLDOWN_MAX", "600"))
+    _cooldown(threshold=2.0, max_wait=cd_max)
     load0 = _loadavg()
+    cooldown_met = load0 is None or load0 < 2.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = os.environ.get("BENCH_QUERIES")
     names = names.split(",") if names else HEADLINE
@@ -103,10 +112,12 @@ def main():
 
     # BASELINE.json headline metrics: frontier URLs/sec + extraction rows/sec
     urls_per_sec = extract_rows_per_sec = None
-    crawl_detail = None
+    crawl_detail = crawl_extract = None
     if os.environ.get("BENCH_SKIP_THROUGHPUT") != "1":
         _cooldown()  # don't start the crawl probe under the query loop's load
         urls_per_sec, extract_rows_per_sec, crawl_detail = _throughput(spark)
+        _cooldown()
+        crawl_extract = _crawl_extract_throughput(spark)
 
     out = {
         "metric": "headline query wall time (lower is better)",
@@ -117,6 +128,8 @@ def main():
         "urls_per_sec": urls_per_sec,
         "crawl_probe": crawl_detail,
         "extract_rows_per_sec": extract_rows_per_sec,
+        "crawl_extract": crawl_extract,
+        "cooldown_met": cooldown_met,
         "master": spark.sparkContext.master,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         # the sandbox host carries unpredictable external load; a 1-minute
@@ -211,6 +224,56 @@ def _throughput(spark):
     return (round(n_urls / crawl_sec, 1), round(n_rows / extract_sec, 1),
             {"n_urls": n_urls, "crawl_legs_sec": crawl_legs,
              "crawl_leg_loadavg": crawl_loads})
+
+
+def _crawl_extract_throughput(spark):
+    """The north_star's FUSED story at bench scale: a trained scraper plan
+    applied to every page fetched in each crawl epoch (run_crawl's
+    scraper_plan payload stage), measured as extraction rows/sec of total
+    crawl wall — inference cost inside the loop, not a separate pass.
+    Correctness of the same path is driver-gated by q45 (extraction values
+    vs the sequential oracle); this section only times it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mlscraper_spark.crawl.engine import (
+        CrawlConfig,
+        read_extractions,
+        run_crawl,
+    )
+    from mlscraper_spark.crawl.synthweb import WebConfig
+    from mlscraper_spark.queries import _q45_setup
+
+    _, _, plan = _q45_setup()  # trained plan (pure-python, memoized)
+    web = WebConfig(n_hosts=5000, max_pages_per_host=40, links_per_page=10)
+    seeds = spark.range(web.n_hosts).select(
+        F.format_string("http://host%d.test/page/0", F.col("id")).alias("raw")
+    )
+    best_sec, n_rows = None, None
+    legs, loads = [], []
+    for leg_i in range(2):
+        if leg_i:
+            _cooldown()
+        root = tempfile.mkdtemp(prefix="bench_crawl_extract_")
+        loads.append(_loadavg())
+        t0 = time.time()
+        run_crawl(spark, root, seeds, web,
+                  CrawlConfig(budget_per_host=8, n_buckets=32),
+                  max_epochs=2, scraper_plan=plan)
+        leg = time.time() - t0
+        legs.append(round(leg, 1))
+        if best_sec is None or leg < best_sec:
+            best_sec = leg
+            n_rows = read_extractions(spark, root).count()
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_extractions": n_rows,
+        "rows_per_sec": round(n_rows / best_sec, 1),
+        "legs_sec": legs,
+        "leg_loadavg": loads,
+    }
 
 
 if __name__ == "__main__":

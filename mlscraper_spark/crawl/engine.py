@@ -1104,8 +1104,14 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         .cache()
     )
     _caches.append(fetched)
-    fetched.count()
-    _t = _trace("fetch+parse", _t)
+    if os.environ.get("SPARK_GRAFT_TRACE"):
+        # trace-only materialization: attribute fetch separately.  The
+        # normal path lets the dirty/fingerprint collect below materialize
+        # this cache inside its own job — one fewer driver action per
+        # epoch (each action costs ~0.4-0.5 s of serial plan+submit, a
+        # cores-independent term the N-vs-4N ladder bills to the wide leg)
+        fetched.count()
+        _t = _trace("fetch+parse", _t)
 
     fetch_log = fetched.select(
         F.lit(epoch).alias("epoch"), "seq", "url_canon", "host",
@@ -1178,14 +1184,23 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
         _t = _trace("plan-delta/cuckoo+vet", _t)
 
     # ---- delta merge: rewrite DIRTY buckets only -------------------------
-    # one job: both inputs are cached, so this union just scans two caches
-    dirty = sorted(
-        r.host_bucket
-        for r in selected.select("host_bucket")
-        .unionByName(vetted.select("host_bucket"))
+    # ONE job collects both per-bucket facts the driver needs this epoch:
+    # the dirty-bucket set (selected ∪ vetted markers, fingerprint NULL)
+    # and the manifest's filter fingerprints ('f' rows) — previously two
+    # collects ~0.5 s of serial driver time apart.  All inputs are cached
+    # (or derive from caches), so the union scans caches; O(buckets) rows.
+    _null_fp = F.lit(None).cast("string").alias("fingerprint")
+    bucket_info = (
+        selected.select("host_bucket", _null_fp)
+        .unionByName(vetted.select("host_bucket", _null_fp))
+        .unionByName(filters_new.select("host_bucket", "fingerprint"))
         .distinct()
         .collect()
     )
+    dirty = sorted({r.host_bucket for r in bucket_info
+                    if r.fingerprint is None})
+    fingerprints = {str(r.host_bucket): r.fingerprint for r in bucket_info
+                    if r.fingerprint is not None}
     new_refs = {b: e for b, e in refs.items()}
     for b in dirty:
         new_refs[b] = epoch
@@ -1261,7 +1276,6 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
             fut.result()  # propagate failures before the manifest exists
 
     _t = _trace("snapshot-writes", _t)
-    fingerprints = _collect_fingerprints(filters_new)
     with open(_manifest_path(root, epoch), "w") as f:
         json.dump(
             {

@@ -33,6 +33,8 @@ if len(sys.argv) > 1 and sys.argv[1] == "--leg":
 else:
     _LEG = None
     OUTFILE = sys.argv[1] if len(sys.argv) > 1 else "BENCH/spark_ceiling.json"
+    WIDE = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    NARROW = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
 
 def _leg(component: str, cores: int) -> None:
@@ -130,10 +132,11 @@ def _cooldown(threshold: float = 1.5, max_wait: int = 240) -> None:
 
 
 def main() -> None:
-    results = {}
+    results = {"wide_cores": WIDE, "narrow_cores": NARROW}
+    factor = WIDE / NARROW
     for comp in ("codegen", "shuffle", "python"):
         secs = {}
-        for cores in (16, 4):
+        for cores in (WIDE, NARROW):
             _cooldown()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--leg", comp,
@@ -145,9 +148,9 @@ def main() -> None:
             secs[cores] = rec["sec"]
             print(line, flush=True)
         results[comp] = {
-            "t16": secs[16], "t4": secs[4],
-            "speedup_16v4": round(secs[4] / secs[16], 2),
-            "efficiency": round(secs[4] / secs[16] / 4.0, 2),
+            "t_wide": secs[WIDE], "t_narrow": secs[NARROW],
+            "speedup": round(secs[NARROW] / secs[WIDE], 2),
+            "efficiency": round(secs[NARROW] / secs[WIDE] / factor, 2),
         }
     print(json.dumps(results))
     os.makedirs(os.path.dirname(OUTFILE) or ".", exist_ok=True)
