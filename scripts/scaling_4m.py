@@ -94,7 +94,12 @@ def run_leg(cores: int, tag: str, n_hosts: int) -> dict:
     # JVM heap disables compressed oops, which measurably SLOWED the
     # 16-core 4M leg ~2.5x (957s vs ~380s) — the same reason production
     # Spark executors are sized <=31g
-    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{min(30, 2 * cores)}g"
+    # SCALING_MEM_PER_CORE overrides the 2 GiB/core rule for control legs
+    # (e.g. a generous-heap 1-core leg that checks the narrow side is not
+    # spill-bound — a FASTER control narrow leg can only LOWER the
+    # reported efficiency, so the control is conservative by construction)
+    per_core = int(os.environ.get("SCALING_MEM_PER_CORE", "2"))
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{min(30, per_core * cores)}g"
     spark = get_spark(f"scaling4m-{tag}", master=f"local[{cores}]",
                       shuffle_partitions=32)
     spark.range(1000).selectExpr("sum(id)").collect()
