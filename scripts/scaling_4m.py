@@ -177,9 +177,16 @@ def _spawn_leg(cores: int, tag: str) -> dict:
          str(N_HOSTS), tag],
         capture_output=True, text=True, env=env,
     )
-    line = [ln for ln in out.stdout.strip().splitlines()
-            if ln.startswith("{")][-1]
-    leg = json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    if not lines:
+        # the leg subprocess died before printing its record (e.g. JVM
+        # heap exhaustion on a narrow leg at a wide width) — surface the
+        # tail of its stderr so the failure is diagnosable from the log
+        sys.stderr.write(f"[leg {tag}] no JSON record; rc={out.returncode}\n")
+        sys.stderr.write("\n".join(out.stderr.strip().splitlines()[-40:]) + "\n")
+        raise RuntimeError(f"leg {tag} produced no record")
+    leg = json.loads(lines[-1])
     leg["host_ceiling_wide_v_narrow"] = calib.get("speedup")
     leg["cooldown_met"] = met
     return leg
