@@ -276,45 +276,102 @@ def _collect_fingerprints(filters_df: DataFrame) -> dict:
 # higher-order functions (transform/forall/array_sort-with-comparator
 # knock the whole projection out of whole-stage codegen into interpreted
 # eval; measured ~350 µs/row, 5x SLOWER than the Arrow/pandas stage this
-# replaces) and one regex execution per gate.  The piece extraction uses
-# substring arithmetic, not per-piece regexp_extract.
-# U+001C-U+001F (FS/GS/RS/US) are python-strippable (str.isspace) but NOT
-# in Java \s, so the class lists them explicitly; anchoring is \z (true
-# end-of-input), NOT '$' — Java '$' (via RLike's find()) also matches just
-# before one trailing line terminator, so 'http://h/p\n' would pass the
-# gate while python's strip() removes the \n.
-_JVM_WS = ("\\s\\u001C-\\u001F\\u0085\\u00A0\\u1680\\u2000-\\u200A"
-           "\\u2028\\u2029\\u202F\\u205F\\u3000")
-_JVM_PRE_RE = (
-    "^[A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+(/[^?#" + _JVM_WS + "]*)?\\z"
-)
-_JVM_Q_RE = (
-    "^[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*(&[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*)*\\z"
+# replaces) and NO regex on the per-link hot path.  The r5 gate ran two
+# anchored Java regexes per link; at the 4M-links/epoch bench width those
+# regexes alone were ~8 s of a ~9 s gate stage (measured, r6).  The gate
+# below recognizes the SAME language with translate()-based charset tests
+# plus substring structure — each a single non-backtracking pass:
+#
+# * pre  ==  ^[A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+(/[^?#WS]*)?\z
+#   decomposed at the FIRST '://' (the regex's split too: scheme/host
+#   charsets exclude ':' and '/'): scheme = alpha first char (ascii range
+#   check) + every char in _SCHEME_CHARS (translate deletes them all);
+#   host = nonempty prefix of hostpath up to the first '/', every char in
+#   _HOST_CHARS — so the remainder (the path) is '' or starts with '/',
+#   exactly the regex's optional group; path = no char of _PATH_BAD
+#   (?, #, and python-strippable whitespace: Java-\s + U+001C-1F + the
+#   unicode spaces — str.strip() trims these, so a fast path that kept
+#   them would diverge from the scalar canonicalizer).
+# * query ==  ^k=v(&k=v)*\z with k,v over [A-Za-z0-9_.~-], k nonempty:
+#   a char-class regexp_replace (linear scan, no backtracking — kept
+#   because translate cannot express "delete everything else") strips the
+#   k/v charset; what remains (the =/& skeleton plus any ILLEGAL char)
+#   must be exactly '=' alternating with '&' (starts/ends '=', no '==',
+#   no '&&', nothing outside {=,&}), and the two empty-key shapes the
+#   skeleton cannot see ('=v...' and '...&=v...') are guarded on q
+#   itself.  Proof of equality with the pair regex: the skeleton is the
+#   order-preserving projection of q onto its structural chars, so
+#   "alternating, ends both sides with '='" <=> every '&'-piece has
+#   exactly one '=', and the startswith/contains guards <=> every key is
+#   nonempty.
+#
+# Rows that fail the gate go to the python residue, which is exact — a
+# STRICTER gate can only cost speed, never correctness; equality with the
+# old regex gate (and the scalar canonicalizer) is pinned over the
+# adversarial corpus by tests/test_urlnorm.py.
+_ASCII_ALNUM = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+                "0123456789")
+_SCHEME_CHARS = _ASCII_ALNUM + "+.-"
+_HOST_CHARS = _ASCII_ALNUM + ".-"
+_PATH_BAD = (
+    "?# \t\n\x0b\f\r"                                  # '?', '#', Java \\s
+    + "".join(chr(c) for c in range(0x1C, 0x20))       # U+001C-U+001F
+    + "\x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))   # U+2000-U+200A
+    + "\u2028\u2029\u202f\u205f\u3000"
 )
 
 
 def canonicalize_frame(df: DataFrame, raw_col: str) -> DataFrame:
     """Append (url_canon, host, path) for ``raw_col``: JVM expressions for
-    the dominant shapes, Arrow-UDF residue for the rest (masked input, so
-    the python stage carries ~zero rows on a typical link mix)."""
+    the dominant shapes; the residue is FILTERED OUT and routed through the
+    Arrow UDF as its own (near-empty) branch of a union.  The r5 shape
+    instead masked the residue column to null and ran the UDF over EVERY
+    row — correct, but the whole link set still crossed the JVM↔python
+    boundary and back (guide §4.1: you control how many rows cross);
+    measured ~9 s/epoch of pure Arrow round-trip at the 4M-link width.
+    Row order across the union differs from the masked form; every
+    consumer is an aggregation/join/sorted-write, so results are
+    unchanged (the bit-for-bit crawl suite pins this)."""
     s = F.trim(F.col(raw_col))  # ASCII-space trim; other edge whitespace
     # fails the fast gate and lands in the residue (python strips it)
     base = F.substring_index(s, "#", 1)
     pre = F.substring_index(base, "?", 1)
     qpos = F.locate("?", base)
     q = F.when(qpos > 0, base.substr(qpos + F.lit(1), F.length(base)))
-    is_fast = pre.rlike(_JVM_PRE_RE) & (
-        q.isNull() | (q == "") | q.rlike(_JVM_Q_RE)
-    )
 
     sp = F.locate("://", pre)  # first occurrence — a PATH may contain '://'
     hostpath = pre.substr(sp + F.lit(3), F.length(pre))
-    host_f = F.lower(F.substring_index(hostpath, "/", 1))
+    host_raw = F.substring_index(hostpath, "/", 1)
+    host_f = F.lower(host_raw)
     path_raw = hostpath.substr(
         F.length(host_f) + F.lit(1), F.length(hostpath)
     )
-    scheme = F.lower(pre.substr(F.lit(1), sp - F.lit(1)))
+    scheme_raw = pre.substr(F.lit(1), sp - F.lit(1))
+    scheme = F.lower(scheme_raw)
     path_f = F.when(path_raw == "", "/").otherwise(path_raw)
+
+    first_c = F.ascii(scheme_raw)  # 0 for empty ⇒ fails both ranges
+    scheme_ok = (
+        (((first_c >= 65) & (first_c <= 90))
+         | ((first_c >= 97) & (first_c <= 122)))
+        & (F.length(F.translate(scheme_raw, _SCHEME_CHARS, "")) == 0)
+    )
+    host_ok = (F.length(host_raw) > 0) & (
+        F.length(F.translate(host_raw, _HOST_CHARS, "")) == 0
+    )
+    path_ok = (
+        F.length(F.translate(path_raw, _PATH_BAD, "")) == F.length(path_raw)
+    )
+    skel = F.regexp_replace(q, "[A-Za-z0-9_.~-]", "")
+    q_ok = (
+        (F.length(F.translate(skel, "=&", "")) == 0)
+        & skel.startswith("=") & skel.endswith("=")
+        & ~skel.contains("==") & ~skel.contains("&&")
+        & ~q.startswith("=") & ~q.contains("&=")
+    )
+    is_fast = ((sp > 0) & scheme_ok & host_ok & path_ok
+               & (q.isNull() | (q == "") | q_ok))
     # sort_array, NOT array_sort: array_sort carries an implicit lambda
     # comparator (a higher-order function), and ONE non-codegen expression
     # drops this whole Project to interpreted eval — per-row boxed
@@ -347,6 +404,16 @@ def canonicalize_frame(df: DataFrame, raw_col: str) -> DataFrame:
             )
         return out
 
+    # A filter-split union (fast rows never entering python) and a
+    # cache-backed split were both TRIED here this round and rejected by
+    # measurement: any branch FILTER carrying the gate tree re-derives
+    # every shared piece per reference (FilterExec has no subexpression
+    # elimination — 6-8 s per filter pass at the 4M-link width), while
+    # this masked projection evaluates the gate once with CSE and ships
+    # only null-masked rows to python (~1.6 s total, vs ~18 s for the r5
+    # regex gate in the same shape).  The Arrow round trip of a
+    # null-masked column is validity bitmaps, not data — it was never the
+    # dominant term; the regex gate was.
     slow = _residue(F.when(is_fast, F.lit(None)).otherwise(F.col(raw_col)))
     return df.withColumns(
         {
@@ -401,12 +468,21 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
                                     schema="raw string")
     # cache: the canonicalized seed set feeds BOTH the robots host scan and
     # the frontier build — uncached, the canonicalize UDF pipeline re-runs
-    # for every consumer (measured 3× on the seed path)
-    c = canonicalize_frame(raw, "raw").select("url_canon", "host", "path").filter(
+    # for every consumer (measured 3× on the seed path).  The null filter
+    # sits ABOVE the cache on purpose: a filter below it would have the
+    # masked canonicalize projection inlined into its FilterExec condition
+    # (predicate pushdown substitutes the alias), and FilterExec performs
+    # no subexpression elimination — the whole gate tree re-evaluates per
+    # conjunct reference (measured ~9 s/epoch at 4M links, r6); above the
+    # cache it tests the STORED column.
+    c_cached = canonicalize_frame(raw, "raw").select(
+        "url_canon", "host", "path"
+    ).cache()
+    c = c_cached.filter(
         F.col("url_canon").isNotNull()  # same policy as discoveries: an
         # unparseable seed is dropped (oracle does the same), never a
         # phantom null-host frontier row
-    ).cache()
+    )
     frontier = (
         _with_host_bucket(c, cfg)
         .withColumn("url_hash", F.xxhash64("url_canon"))
@@ -426,7 +502,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
     if os.environ.get("SPARK_GRAFT_TRACE"):
         # sub-stage attribution (trace only): the caches make the split
         # jobs sum to the same work the fused job would do
-        c.count()
+        c_cached.count()
         _t = _trace("seed-plan/canonicalize", _t)
         robots.count()
         _t = _trace("seed-plan/robots", _t)
@@ -461,7 +537,7 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
         for fut in futs:
             fut.result()
     frontier.unpersist()
-    c.unpersist()
+    c_cached.unpersist()
     robots.unpersist()
     _t = _trace("seed-writes", _t)
     with open(_manifest_path(root, -1), "w") as f:
@@ -522,12 +598,21 @@ def _filter_robots(df: DataFrame, robots: DataFrame,
     serial on the driver.  Otherwise a broadcast join against the resolved
     rules table; pure-function rules make the two identical because every
     table row was itself produced by the adapter."""
+    # Reuse the ``path`` column canonicalize_frame already computed when
+    # the caller kept it (pinned equal to urlsplit().path by
+    # tests/test_urlnorm.py): parse_url is a full java.net.URI parse per
+    # row, and re-deriving what the canonicalizer just produced was pure
+    # waste on the discovery hot path (guide §1.2: don't compute things
+    # twice).  The parse_url fallback remains for frames without it.
     # coalesce: parse_url yields NULL for URLs java.net.URI rejects; the
     # oracle's urlsplit returns '' there — NULL would nullify exists() and
     # silently drop the row, diverging from the oracle
-    path_expr = F.coalesce(
-        F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("")
-    )
+    if "path" in df.columns:
+        path_expr = F.coalesce(F.col("path"), F.lit(""))
+    else:
+        path_expr = F.coalesce(
+            F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("")
+        )
     blocked_col = (
         getattr(adapter, "robots_blocked_col", lambda h, p: None)(
             F.col("host"), path_expr
@@ -1122,16 +1207,24 @@ def _run_epoch_body(spark, root, epoch, web, cfg, refs, robots, filters,
     raw_links = fetched.select(
         (F.col("depth") + 1).alias("depth"), F.explode("links").alias("raw")
     )
-    disc = canonicalize_frame(raw_links, "raw").select(
-        "depth", "url_canon", "host"
-    ).filter(
-        F.col("url_canon").isNotNull()  # unparseable hrefs are not links
+    # The cache sits DIRECTLY on the canonicalize output and every filter
+    # sits above it: a filter below would have the masked canonicalize
+    # projection inlined into its FilterExec condition (pushdown
+    # substitutes the alias), and FilterExec does no subexpression
+    # elimination — the gate tree re-evaluates per conjunct reference
+    # (measured ~9 s/epoch at 4M links, r6).  Above the cache the filters
+    # test stored columns.  The cache is also why canonicalize runs once
+    # for its two consumers (robots_new host anti-join + the delta
+    # pipeline).  path rides along so the robots filter can test it
+    # directly instead of re-deriving it with a per-row parse_url.
+    disc0 = canonicalize_frame(raw_links, "raw").select(
+        "depth", "url_canon", "host", "path"
+    ).cache()
+    _caches.append(disc0)
+    disc = _trap_filter(  # trap guard BEFORE robots: a trapped URL must
+        # not trigger a robots fetch for its host
+        disc0.filter(F.col("url_canon").isNotNull()), cfg
     )
-    disc = _trap_filter(disc, cfg).cache()  # trap guard BEFORE robots:
-    # a trapped URL must not trigger a robots fetch for its host
-    # consumed by robots_new (host anti-join) AND the main delta
-    # pipeline — without the cache the canonicalize UDF runs twice
-    _caches.append(disc)
     robots_new = _robots_rules_df(
         spark,
         disc.select("host").join(robots.select("host"), "host", "left_anti"),

@@ -113,13 +113,27 @@ class SynthWebAdapter(FetchAdapter):
     def _robots_hit(host_col):
         from pyspark.sql import functions as F
 
-        # \z not '$': Java '$' also matches before one trailing line
-        # terminator, so a host like 'host2\n' would wrongly read as
-        # rule-bearing while python's re.fullmatch rejects it.
-        idx = F.regexp_extract(
-            host_col, "^host([0-9]{1,18})(\\.[\\s\\S]*)?\\z", 1
+        # Structural decomposition of ``^host([0-9]{1,18})(\.[\s\S]*)?\z``
+        # with translate()-based charset tests instead of a per-row regex:
+        # the regex ran inside the discovery-filter FilterExec, which does
+        # no subexpression elimination, so it executed per conjunct
+        # reference on EVERY discovered link (r6 measurement: the regex
+        # gate family was ~8 s/epoch at the 4M-link width).  seg = the
+        # piece after 'host' up to the first '.' (or end); rule-bearing
+        # iff seg is 1-18 digits and seg % 5 == 2 — the same language:
+        # digits then end-or-dot-then-anything.  \z semantics fall out for
+        # free (no anchors anywhere), and a trailing '\n' lands in seg or
+        # the post-dot tail: in seg it fails the digit test, after a dot
+        # it is allowed by both sides.
+        seg = F.substring_index(F.substring(host_col, 5, 1 << 30), ".", 1)
+        seg_digits = (
+            (F.length(seg) >= 1) & (F.length(seg) <= 18)
+            & (F.length(F.translate(seg, "0123456789", "")) == 0)
         )
-        return (idx != "") & (F.pmod(idx.cast("bigint"), F.lit(5)) == 2)
+        return (
+            host_col.startswith("host") & seg_digits
+            & (F.pmod(seg.cast("bigint"), F.lit(5)) == 2)
+        )
 
     def robots_blocked_col(self, host_col, path_col):
         """``path.startswith('/private/')`` on rule-bearing hosts — plain
@@ -129,7 +143,10 @@ class SynthWebAdapter(FetchAdapter):
         overrides ``robots``."""
         if type(self).robots is not SynthWebAdapter.robots:
             return None
-        return self._robots_hit(host_col) & path_col.startswith("/private/")
+        # cheap conjunct first: startswith prunes every non-/private/ path
+        # before the host decomposition runs (And short-circuits left to
+        # right in both codegen and interpreted eval)
+        return path_col.startswith("/private/") & self._robots_hit(host_col)
 
 
 def robots_blocked(path: str, rules: list[str]) -> bool:

@@ -38,9 +38,19 @@ def scan_matches(nodes_df: DataFrame, values_df: DataFrame,
     Output: page_id, value, node_id, extractor_kind ('text'|'attr'),
     extractor_attr, sort_key (array<int>; reference generation order).
     """
+    from mlscraper_spark.caches import scoped_cache
+
+    # the nodes table feeds THREE branches (text matches, ancestor
+    # promotion, attribute matches); uncached, each branch re-runs the
+    # whole upstream pipeline — for exploded HTML pages that is the Arrow
+    # parse stage executed 3-4x per query (guide §4: the Python boundary
+    # is the expensive part; pay it once).  ``direct`` is likewise read by
+    # both the text branch and the ancestor join.  Both caches are scoped:
+    # released at the next query entry / bench leg via release_caches().
+    nodes_df = scoped_cache(nodes_df)
     v = F.broadcast(values_df.select("value").distinct())
 
-    direct = (
+    direct = scoped_cache(
         nodes_df.select(
             "page_id", "node_id", "ancestor_ids", "text",
             F.explode("own_texts").alias("own_text"),

@@ -30,6 +30,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor (guide §2/§6): a small parquet table is one
+    row group, so it yields ONE input split — and then everything up to the
+    first Exchange (explodes, hashing, Arrow parse stages) runs in a single
+    task while the other cores idle.  When the scan's partition count is
+    below the core count, a round-robin repartition spreads the rows; when
+    the input is big enough to split on its own (the 100 TB case), this is
+    a no-op and no extra Exchange enters the plan.  Results are unchanged —
+    only task granularity moves."""
+    n = spark.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: never fail a query
+        return df
+    return df if cur >= n else df.repartition(n)
+
+
 # Storage scoping lives in mlscraper_spark.caches (shared with the
 # iterative operators, whose localCheckpoint blocks must honor the same
 # release contract); re-exported here because __spark_entry__, bench.py and
@@ -53,6 +70,10 @@ def _ensure_utc(spark: SparkSession) -> None:
 def q01_pricing_summary(spark, sf_dir):
     """A1-A7: partial+final aggregation; P1: filter pushdown to scan."""
     li = _t(spark, sf_dir, "lineitem")
+    # NO _spread here (tried, reverted): partial aggregation already
+    # collapses the scan output before its exchange, so the single-split
+    # scan is the serial term either way and the repartition only added a
+    # full-row shuffle (measured q01 1.12→1.59 s)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -749,7 +770,7 @@ ORDER BY lang_pred
 def _shingles(spark, sf_dir):
     """8-char shingles at stride 4 (shared by q19/q20) — position explode
     carries the text column along (no self-join, no extra shuffle)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "text",
@@ -781,19 +802,45 @@ def q19_minhash_lsh_pairs(spark, sf_dir):
     exact-backstop shape as the URL-seen design (SURVEY §2.2 P10).
     """
     sh = _scoped_cache(_shingles(spark, sf_dir))
-    mh = sh.groupBy("doc_id", F.substring("h", 1, 1).alias("b")).agg(
-        F.min("h").alias("m")
+    # ONE aggregation computes every per-doc fact the pipeline needs: the
+    # 16 per-bin minhash minima (min over the bin = conditional min over
+    # the doc) AND the shingle count for the Jaccard denominators.  The
+    # previous shape paid two full shuffles of the shingle set (groupBy
+    # (doc_id, bin) + groupBy doc_id) plus a per-doc self-join to pair
+    # adjacent bins into band signatures; here bins are COLUMNS of one
+    # per-doc row, so the signature pairing is a plain projection and the
+    # tiny result is cached once for the self-join and both count joins
+    # (guide §2.3/§2.4).  Bin/band/signature semantics are unchanged: a
+    # bin "exists" iff its conditional min is non-null, exactly when the
+    # old groupBy produced a row for it.
+    _HEX = "0123456789abcdef"
+    perdoc = _scoped_cache(
+        sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.min(F.when(F.substring("h", 1, 1) == d, F.col("h")))
+                .alias(f"m{j}")
+                for j, d in enumerate(_HEX)
+            ],
+        )
     )
-    nxt = mh.select(
-        "doc_id", F.expr("char(ascii(b) - 1)").alias("b"), F.col("m").alias("m2")
-    )
+    bands = F.array(*[
+        F.struct(
+            F.lit(_HEX[j]).alias("band"),
+            F.col(f"m{j}").alias("m"),
+            F.concat(
+                F.col(f"m{j}"), F.coalesce(F.col(f"m{j + 1}"), F.lit(""))
+            ).alias("sig"),
+        )
+        for j in range(0, 16, 2)
+    ])
     sig = (
-        mh.filter(F.col("b").isin(*"02468ace"))
-        .join(nxt, ["doc_id", "b"], "left")
+        perdoc.select("doc_id", F.explode(bands).alias("bv"))
+        .filter(F.col("bv.m").isNotNull())
         .select(
             "doc_id",
-            F.col("b").alias("band"),
-            F.concat(F.col("m"), F.coalesce(F.col("m2"), F.lit(""))).alias("sig"),
+            F.col("bv.band").alias("band"),
+            F.col("bv.sig").alias("sig"),
         )
     )
     a, b = sig.alias("a"), sig.alias("b")
@@ -803,7 +850,7 @@ def q19_minhash_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = perdoc.select("doc_id", "n")
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
@@ -924,7 +971,7 @@ def _simhash_df(spark, sf_dir, n_bits: int, out_col: str):
     bit of hex digit j of md5(token) — pure column expressions, no UDF,
     identical semantics in the oracle (md5 has 32 hex digits → n_bits ≤ 32).
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     ).withColumn("h", F.md5(F.encode("tok", "utf-8")))
@@ -1009,6 +1056,14 @@ WHERE bit_count(xor(fp_a, fp_b)) <= 3
 # --------------------------------------------------------------------------
 
 def _cosine(a, b):
+    """Cosine via the higher-order fold.  An unrolled 64-term
+    element_at/multiply variant was TRIED this round and reverted: it is
+    bit-identical and codegen-friendly per row, but triples every cosine
+    call site to ~600 expression nodes, and AQE re-optimizes that tree at
+    every stage boundary — measured q21 0.6→2.8 s, q29 1.3→5.8 s from
+    driver-side planning alone.  The fold keeps the tree O(1); its
+    interpreted per-element eval is not the bottleneck at any measured
+    width (guide §1.2: fix the measured cost, not the theoretical one)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1038,7 +1093,7 @@ def q21_cosine_topk(spark, sf_dir):
     JVM-side array expressions (zip_with/aggregate), no Python UDF; the
     scale path replaces the crossJoin with the LSH bucketing of q22.
     """
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
         # plain Cast, not F.transform(lambda): one higher-order function
         # drops the whole projection out of codegen into interpreted eval
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1074,7 +1129,7 @@ WHERE rn <= 3
 def q22_ann_lsh(spark, sf_dir):
     """ANN scale path: sign-LSH bucketing on the first 8 components, exact
     cosine within bucket only (bucket-equi-join replaces the crossJoin)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
         # plain Cast, not F.transform(lambda): one higher-order function
         # drops the whole projection out of codegen into interpreted eval
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1133,7 +1188,7 @@ def q29_ann_ivf(spark, sf_dir):
     ORDER BY cos DESC, cid ASC in the oracle).  No UDFs, no driver-side
     collect.
     """
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
         # plain Cast, not F.transform(lambda): one higher-order function
         # drops the whole projection out of codegen into interpreted eval
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1217,7 +1272,7 @@ _PAGE_HTML = (
 
 def _doc_pages(spark, sf_dir):
     """Synthesize an HTML page per document (JVM-side concat)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit(_PAGE_HTML[0]), F.col("source"),
         F.lit(_PAGE_HTML[1]), F.col("text"),
@@ -1270,7 +1325,7 @@ def q24_match_scan(spark, sf_dir):
         F.col("text"),
         F.lit("</div></body></html>"),
     )
-    pages = docs.filter(F.col("doc_id") % 10 == 0).select(
+    pages = _spread(spark, docs.filter(F.col("doc_id") % 10 == 0)).select(
         F.col("doc_id").cast("string").alias("page_id"),
         F.encode(html, "utf-8").alias("html"),
     )
@@ -1294,7 +1349,7 @@ def q27_embedding_neardup(spark, sf_dir):
     The oracle computes cosine with ``_cosine_sql`` — the same left-fold
     double arithmetic as Spark's ``_cosine`` — so the threshold compare is
     bit-exact between engines (a boundary pair can never flip the row set)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
         # plain Cast, not F.transform(lambda): one higher-order function
         # drops the whole projection out of codegen into interpreted eval
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1376,7 +1431,7 @@ def _doc_image_pages(spark, sf_dir):
     """Pages with a captioned <img> per document — the image-payload path
     over driver testdata (w/h derived from n_chars so the oracle can
     predict them)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     w = (16 + (F.col("n_chars") % 8) * 16).cast("int")
     h = (16 + (F.col("n_chars") % 5) * 16).cast("int")
     caption = F.concat(

@@ -1,100 +1,93 @@
-"""Replicate the driver's correctness gate locally: run every queries()
-entry on Spark and its oracle_sql() on DuckDB at a given sf, compare
-row-count, column names, and order-insensitive values.
+"""Local replica of the driver's parity gate: run every registry query in
+Spark and its ANSI-SQL oracle in DuckDB over the same parquet, compare
+schema (sorted column names) and the exact sorted row multiset.
 
-Usage: python scripts/parity_check.py [sf_dir] [query ...]
+Usage:
+  python scripts/parity_check.py [--sf /root/testdata/sf0.001] [--queries a,b]
+
+Exit 0 iff every checked query matches.
 """
 from __future__ import annotations
 
+import argparse
 import math
+import os
 import sys
-import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "lineitem", "orders", "customer", "part", "supplier", "nation", "region",
+    "events", "documents", "embeddings",
+]
 
 
-def normalize(rows, columns):
-    out = []
-    for row in rows:
-        vals = []
-        for c in columns:
-            v = row[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    vals.append(f"{round(v, 9):.9f}")
-            else:
-                vals.append(repr(v))
-        out.append(tuple(vals))
-    out.sort()
-    return out
+def _norm(v):
+    if v is None:
+        return ("0-none",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("1-f", "NaN")
+        return ("1-f", v.hex())  # exact bit compare for doubles
+    return ("2-v", str(type(v).__name__), str(v))
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--queries", default=None)
+    args = ap.parse_args()
 
     import duckdb
 
-    import __spark_entry__ as entrymod
+    import __spark_entry__ as entry
     from mlscraper_spark.session import get_spark
 
-    spark = get_spark("parity-check", master="local[8]", shuffle_partitions=8)
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.queries.split(",") if args.queries else sorted(qs)
+
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    for t in TABLES:
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
+    spark = get_spark("parity-check")
+    failed = []
+    for name in names:
         try:
-            sdf = fn(spark, sf_dir)
-            spark_cols = sorted(sdf.columns)
-            spark_rows = [r.asDict() for r in sdf.collect()]
-        except Exception as e:
-            failures.append((name, f"spark error: {e}"))
-            print(f"FAIL {name}: spark error: {e}")
-            continue
-        if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows={len(spark_rows)})")
-            continue
-        try:
-            ddf = con.execute(oracles[name]).df()
-        except Exception as e:
-            failures.append((name, f"duckdb error: {e}"))
-            print(f"FAIL {name}: duckdb error: {e}")
-            continue
-        duck_cols = sorted(ddf.columns)
-        duck_rows = ddf.to_dict("records")
-        status = []
-        if len(spark_rows) != len(duck_rows):
-            status.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
-        if spark_cols != duck_cols:
-            status.append(f"columns {spark_cols} vs {duck_cols}")
-        if not status:
-            a = normalize(spark_rows, spark_cols)
-            b = normalize(duck_rows, duck_cols)
-            if a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                status.append(f"values differ, first diffs: {diff}")
-        took = time.time() - t0
-        if status:
-            failures.append((name, "; ".join(status)))
-            print(f"FAIL {name} ({took:.1f}s): {'; '.join(status)}")
-        else:
-            print(f"OK   {name} ({took:.1f}s, {len(spark_rows)} rows)")
-
-    print(f"\n{len(failures)} failures")
-    if failures:
-        sys.exit(1)
+            sdf = qs[name](spark, args.sf)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(_norm(row[c]) for c in scols) for row in sdf.collect()
+            )
+            ores = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in ores.description]
+            ocols = sorted(ocols_raw)
+            orows = sorted(
+                tuple(_norm(r[ocols_raw.index(c)]) for c in ocols)
+                for r in ores.fetchall()
+            )
+            ok_schema = scols == ocols
+            ok_rows = srows == orows
+            status = "OK" if (ok_schema and ok_rows) else "FAIL"
+            print(f"{name}: {status} spark={len(srows)} oracle={len(orows)}"
+                  + ("" if ok_schema else f" SCHEMA {scols} vs {ocols}"))
+            if status == "FAIL":
+                failed.append(name)
+                for i, (a, b) in enumerate(zip(srows, orows)):
+                    if a != b:
+                        print(f"  first diff row {i}:\n   spark={a}\n   orcl ={b}")
+                        break
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            failed.append(name)
+    spark.stop()
+    print("FAILED:", failed if failed else "none")
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":
