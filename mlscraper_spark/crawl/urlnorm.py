@@ -35,11 +35,18 @@ def _merge_round(acc: int, val: int) -> int:
     return (acc * _PRIME1 + _PRIME4) & _MASK
 
 
-def xxhash64(data: bytes, seed: int = 42) -> int:
+def xxhash64(data: bytes, seed: int = 42,
+             _from_bytes=int.from_bytes) -> int:
     """XXH64, returned as a *signed* 64-bit int to match Spark's LongType.
 
     Default seed 42 matches Spark's XxHash64 expression default.
-    """
+
+    The rotate/round helpers are inlined: this function runs 13x per
+    fetched page in the synthetic web's content derivation (``_h``), and
+    the call overhead of ``_rotl``/``_round`` was ~40% of its runtime at
+    the bench crawl width (r6 profile).  Values are bit-identical to the
+    helper-based form (same arithmetic, test-pinned against Spark's JVM
+    expression)."""
     n = len(data)
     i = 0
     if n >= 32:
@@ -48,30 +55,37 @@ def xxhash64(data: bytes, seed: int = 42) -> int:
         v3 = seed
         v4 = (seed - _PRIME1) & _MASK
         while i <= n - 32:
-            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
-            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
-            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
-            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            v1 = (v1 + _from_bytes(data[i:i + 8], "little") * _PRIME2) & _MASK
+            v1 = (((v1 << 31) | (v1 >> 33)) & _MASK) * _PRIME1 & _MASK
+            v2 = (v2 + _from_bytes(data[i + 8:i + 16], "little") * _PRIME2) & _MASK
+            v2 = (((v2 << 31) | (v2 >> 33)) & _MASK) * _PRIME1 & _MASK
+            v3 = (v3 + _from_bytes(data[i + 16:i + 24], "little") * _PRIME2) & _MASK
+            v3 = (((v3 << 31) | (v3 >> 33)) & _MASK) * _PRIME1 & _MASK
+            v4 = (v4 + _from_bytes(data[i + 24:i + 32], "little") * _PRIME2) & _MASK
+            v4 = (((v4 << 31) | (v4 >> 33)) & _MASK) * _PRIME1 & _MASK
             i += 32
-        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
-        h = _merge_round(h, v1)
-        h = _merge_round(h, v2)
-        h = _merge_round(h, v3)
-        h = _merge_round(h, v4)
+        h = ((((v1 << 1) | (v1 >> 63)) + ((v2 << 7) | (v2 >> 57))
+              + ((v3 << 12) | (v3 >> 52)) + ((v4 << 18) | (v4 >> 46))) & _MASK)
+        for v in (v1, v2, v3, v4):
+            r = (v * _PRIME2) & _MASK
+            r = (((r << 31) | (r >> 33)) & _MASK) * _PRIME1 & _MASK
+            h = ((h ^ r) * _PRIME1 + _PRIME4) & _MASK
     else:
         h = (seed + _PRIME5) & _MASK
     h = (h + n) & _MASK
     while i <= n - 8:
-        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
-        h = (_rotl(h, 27) * _PRIME1 + _PRIME4) & _MASK
+        r = (_from_bytes(data[i:i + 8], "little") * _PRIME2) & _MASK
+        r = (((r << 31) | (r >> 33)) & _MASK) * _PRIME1 & _MASK
+        h ^= r
+        h = ((((h << 27) | (h >> 37)) & _MASK) * _PRIME1 + _PRIME4) & _MASK
         i += 8
     if i <= n - 4:
-        h ^= (int.from_bytes(data[i:i + 4], "little") * _PRIME1) & _MASK
-        h = (_rotl(h, 23) * _PRIME2 + _PRIME3) & _MASK
+        h ^= (_from_bytes(data[i:i + 4], "little") * _PRIME1) & _MASK
+        h = ((((h << 23) | (h >> 41)) & _MASK) * _PRIME2 + _PRIME3) & _MASK
         i += 4
     while i < n:
         h ^= (data[i] * _PRIME5) & _MASK
-        h = (_rotl(h, 11) * _PRIME1) & _MASK
+        h = (((h << 11) | (h >> 53)) & _MASK) * _PRIME1 & _MASK
         i += 1
     h ^= h >> 33
     h = (h * _PRIME2) & _MASK

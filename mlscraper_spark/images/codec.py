@@ -93,7 +93,11 @@ def encode_dctq(img: np.ndarray) -> bytes:
     out = [b"DCTQ", np.array([w, h], dtype=np.int32).tobytes()]
     for c in range(3):
         blocks, H, W = _blockify(img[:, :, c])
-        coeffs = np.einsum("ij,abjk,lk->abil", _DCT, blocks - 128.0, _DCT)
+        # same contraction as einsum("ij,abjk,lk->abil", DCT, ., DCT) but
+        # through broadcast matmul, which dispatches to BLAS — the
+        # three-operand einsum takes numpy's scalar c_einsum path and was
+        # 60% of the whole extract-images loop (r6 profile)
+        coeffs = _DCT @ (blocks - 128.0) @ _DCT.T
         q = np.round(coeffs / _QSTEP).astype(np.int16)
         out.append(np.array([H, W], dtype=np.int32).tobytes())
         out.append(q.tobytes())
@@ -113,7 +117,9 @@ def decode_dctq(data: bytes) -> np.ndarray:
             H // _N, W // _N, _N, _N
         )
         pos += n * 2
-        blocks = np.einsum("ji,abjk,kl->abil", _DCT, q * _QSTEP, _DCT) + 128.0
+        # einsum("ji,abjk,kl->abil", DCT, ., DCT) == DCT.T @ . @ DCT (see
+        # encode_dctq: matmul dispatches to BLAS, c_einsum does not)
+        blocks = _DCT.T @ (q * _QSTEP) @ _DCT + 128.0
         chan = blocks.transpose(0, 2, 1, 3).reshape(H, W)
         chans.append(chan[:h, :w])
     return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)

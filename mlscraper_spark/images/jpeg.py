@@ -254,7 +254,9 @@ def _quantized_blocks(chan: np.ndarray, qt: np.ndarray) -> np.ndarray:
     padded = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
     H, W = padded.shape
     blocks = padded.reshape(H // _N, _N, W // _N, _N).transpose(0, 2, 1, 3)
-    coeffs = np.einsum("ij,abjk,lk->abil", _DCT, blocks - 128.0, _DCT)
+    # same contraction through broadcast matmul (BLAS); the 3-operand
+    # einsum takes the scalar c_einsum path (see images/codec.py)
+    coeffs = _DCT @ (blocks - 128.0) @ _DCT.T
     q = np.round(coeffs / qt.reshape(_N, _N)).astype(np.int32)
     return q.reshape(H // _N, W // _N, 64)[:, :, ZIGZAG]
 
@@ -510,7 +512,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         qt = qts[tq]
         nat = coeffs[c][:, :, _UNZIGZAG] * qt
         blocks = nat.reshape(nby, nbx, _N, _N)
-        pix = np.einsum("ji,abjk,kl->abil", _DCT, blocks, _DCT) + 128.0
+        pix = _DCT.T @ blocks @ _DCT + 128.0
         chan = pix.transpose(0, 2, 1, 3).reshape(nby * _N, nbx * _N)
         chans.append(chan[:h, :w])
     if nc == 1:
