@@ -48,15 +48,22 @@ def scan_matches(nodes_df: DataFrame, values_df: DataFrame,
     # both the text branch and the ancestor join.  Both caches are scoped:
     # released at the next query entry / bench leg via release_caches().
     nodes_df = scoped_cache(nodes_df)
-    v = F.broadcast(values_df.select("value").distinct())
+    # the distinct values side feeds all three branch joins; cached so its
+    # exchange runs once instead of once per branch
+    v = F.broadcast(scoped_cache(values_df.select("value").distinct()))
 
+    # NO dropDuplicates here (removed r6): a node whose own_texts carries
+    # the same value twice yields duplicate rows, but every duplicate has
+    # an IDENTICAL sort_key, so the final min-aggregation collapses them —
+    # the dedup exchange + sort-aggregate pair per consuming branch bought
+    # nothing (guide §2.4: remove shuffles whose work a later stage
+    # already does).
     direct = scoped_cache(
         nodes_df.select(
             "page_id", "node_id", "ancestor_ids", "text",
             F.explode("own_texts").alias("own_text"),
         )
         .join(v, F.col("own_text") == F.col("value"))
-        .dropDuplicates(["page_id", "node_id", "value"])
     )
 
     text_matches = direct.select(
