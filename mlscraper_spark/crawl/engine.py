@@ -521,19 +521,16 @@ def seed_crawl(spark: SparkSession, root: str, seeds, web: WebConfig,
     # snapshot (the manifest below is the atomic completion marker)
     from concurrent.futures import ThreadPoolExecutor
 
-    writes = [
-        (spark.createDataFrame([], SEEN_SCHEMA), "url_seen_delta"),
-        (robots, "robots_delta"),
-        (spark.createDataFrame([], FILTERS_SCHEMA), "filters"),
-    ]
-    with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
-        futs = [pool.submit(_write_frontier, fmt, frontier, d, cfg.n_buckets)]
-        futs += [
-            pool.submit(
-                lambda df, name: fmt.write(df, os.path.join(d, name)), df, name
-            )
-            for df, name in writes
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(_write_frontier, fmt, frontier, d, cfg.n_buckets),
+            pool.submit(fmt.write, robots, os.path.join(d, "robots_delta")),
         ]
+        # zero-row tables commit through the seam's write_empty — the
+        # parquet variant does it driver-side (no Spark job; a zero-row
+        # job costs ~0.5 s each of pure scheduling, measured r6)
+        fmt.write_empty(spark, os.path.join(d, "url_seen_delta"), SEEN_SCHEMA)
+        fmt.write_empty(spark, os.path.join(d, "filters"), FILTERS_SCHEMA)
         for fut in futs:
             fut.result()
     frontier.unpersist()
@@ -1399,12 +1396,9 @@ def _write_empty_epoch(spark, root, epoch, refs, robots, filters,
         empty_counts = spark.createDataFrame([], "host string, n_sel long")
         fmt.write(_next_host_tokens(host_tokens, empty_counts, cfg),
                   os.path.join(d, "host_tokens"))
-    fmt.write(spark.createDataFrame([], SEEN_SCHEMA),
-              os.path.join(d, "url_seen_delta"))
-    fmt.write(spark.createDataFrame([], FETCHLOG_SCHEMA),
-              os.path.join(d, "fetch_log"))
-    fmt.write(spark.createDataFrame([], ROBOTS_SCHEMA),
-              os.path.join(d, "robots_delta"))
+    fmt.write_empty(spark, os.path.join(d, "url_seen_delta"), SEEN_SCHEMA)
+    fmt.write_empty(spark, os.path.join(d, "fetch_log"), FETCHLOG_SCHEMA)
+    fmt.write_empty(spark, os.path.join(d, "robots_delta"), ROBOTS_SCHEMA)
     fmt.write(filters, os.path.join(d, "filters"))
     fingerprints = _collect_fingerprints(filters)
     with open(_manifest_path(root, epoch), "w") as f:

@@ -58,6 +58,12 @@ class NodeRec:
     classes: list[str] = field(default_factory=list)  # raw class tokens
     own_texts: list[str] = field(default_factory=list)  # stripped direct text children
     text: str = ""  # full subtree text, stripped
+    # ancestors (nearest first) whose stripped subtree text equals this
+    # node's — P2 ancestor text-propagation precomputed WHERE THE DOM IS
+    # LOCAL (SURVEY §2.2 P2 "or compute during DOM explode in the UDF"),
+    # so the match scan's ancestor branch is a plain explode instead of a
+    # nodes⋈nodes join (guide §8: use what the optimizer cannot know)
+    text_anc_ids: list[int] = field(default_factory=list)
     sibling_index: int = 0  # 1-based position among element siblings (:nth-child)
     depth: int = 0
 
@@ -214,4 +220,12 @@ def parse_html(data: bytes | str) -> list[NodeRec]:
     for r in roots:
         pos += 1
         walk(r, -1, [], pos)
+    # P2 precompute (post-pass: ancestor text is only final after walk):
+    # ancestors with identical stripped subtree text, nearest first — the
+    # same set the former nodes⋈nodes ancestor join produced
+    for rec in records:
+        t = rec.text
+        rec.text_anc_ids = [
+            aid for aid in rec.ancestor_ids if records[aid].text == t
+        ]
     return records

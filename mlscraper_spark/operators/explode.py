@@ -31,6 +31,9 @@ NODES_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), False),
         T.StructField("sibling_index", T.IntegerType(), False),
         T.StructField("depth", T.IntegerType(), False),
+        # P2 precompute (see dom/parser.NodeRec.text_anc_ids): lets the
+        # match scan's ancestor branch run joinless
+        T.StructField("text_anc_ids", T.ArrayType(T.IntegerType()), False),
     ]
 )
 
@@ -61,6 +64,7 @@ def explode_pages(pages_df: DataFrame, page_id_col: str = "page_id",
                             r.text,
                             r.sibling_index,
                             r.depth,
+                            r.text_anc_ids,
                         )
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in NODES_SCHEMA.fields])

@@ -9,7 +9,8 @@ Relational re-expression of ``Node.find_all``
   semantics of html.py:89 as trim-equality, spec-by-test
   tests/test_html.py:51-57).
 * P2 ancestor propagation: every ancestor with identical stripped subtree
-  text also matches (html.py:95-97) → self-join on ``array_contains``.
+  text also matches (html.py:95-97) → explode of the parser-precomputed
+  ``text_anc_ids`` (the DOM-local fact; no self-join).
 * P3 attribute-value: any attribute equal to V (html.py:100-104), excluding
   bs4 multi-valued attrs ('class'/'rel') which the reference compares
   list-vs-str (never equal).
@@ -40,13 +41,14 @@ def scan_matches(nodes_df: DataFrame, values_df: DataFrame,
     """
     from mlscraper_spark.caches import scoped_cache
 
-    # the nodes table feeds THREE branches (text matches, ancestor
-    # promotion, attribute matches); uncached, each branch re-runs the
+    # the nodes table feeds TWO branches (text+ancestor matches via
+    # ``direct``, attribute matches); uncached, each branch re-runs the
     # whole upstream pipeline — for exploded HTML pages that is the Arrow
-    # parse stage executed 3-4x per query (guide §4: the Python boundary
-    # is the expensive part; pay it once).  ``direct`` is likewise read by
-    # both the text branch and the ancestor join.  Both caches are scoped:
-    # released at the next query entry / bench leg via release_caches().
+    # parse stage executed per branch (guide §4: the Python boundary is
+    # the expensive part; pay it once).  ``direct`` is likewise read by
+    # both the text branch and the ancestor explode.  Both caches are
+    # scoped: released at the next query entry / bench leg via
+    # release_caches().
     nodes_df = scoped_cache(nodes_df)
     # the distinct values side feeds all three branch joins; cached so its
     # exchange runs once instead of once per branch
@@ -60,7 +62,7 @@ def scan_matches(nodes_df: DataFrame, values_df: DataFrame,
     # already does).
     direct = scoped_cache(
         nodes_df.select(
-            "page_id", "node_id", "ancestor_ids", "text",
+            "page_id", "node_id", "text_anc_ids",
             F.explode("own_texts").alias("own_text"),
         )
         .join(v, F.col("own_text") == F.col("value"))
@@ -75,25 +77,32 @@ def scan_matches(nodes_df: DataFrame, values_df: DataFrame,
         F.array(F.lit(_PHASE_TEXT), F.col("node_id"), F.lit(0)).alias("sort_key"),
     )
 
+    # ancestor promotion (P2) is a plain EXPLODE of the parser-precomputed
+    # text_anc_ids (r6): the parse UDF already knows, per node, every
+    # ancestor with identical stripped subtree text (a page-local fact the
+    # optimizer could never derive — guide §8), so the former
+    # nodes⋈nodes broadcast join — a second full pass over the nodes
+    # cache plus a broadcast build per query — is gone entirely.  Row set
+    # identical: one row per (direct match, equal-text ancestor), same
+    # sort_key arithmetic (nearest ancestors first, html.py:95-97).
     anc = (
-        direct.alias("m")
-        .join(
-            nodes_df.alias("a"),
-            (F.col("m.page_id") == F.col("a.page_id"))
-            & F.array_contains(F.col("m.ancestor_ids"), F.col("a.node_id"))
-            & (F.col("a.text") == F.col("m.text")),
+        direct.select(
+            "page_id",
+            "value",
+            F.col("node_id").alias("m_node_id"),
+            F.explode("text_anc_ids").alias("a_node_id"),
         )
         .select(
-            F.col("m.page_id").alias("page_id"),
-            F.col("m.value").alias("value"),
-            F.col("a.node_id").alias("node_id"),
+            "page_id",
+            "value",
+            F.col("a_node_id").alias("node_id"),
             F.lit("text").alias("extractor_kind"),
             F.lit(None).cast("string").alias("extractor_attr"),
             F.array(
                 F.lit(_PHASE_TEXT),
-                F.col("m.node_id"),
+                F.col("m_node_id"),
                 # ancestor offset: nearest ancestors first (html.py:95-97)
-                F.col("m.node_id") - F.col("a.node_id"),
+                F.col("m_node_id") - F.col("a_node_id"),
             ).alias("sort_key"),
         )
     )

@@ -288,18 +288,31 @@ GROUP BY c_mktsegment
 
 
 def q04_shuffle_join(spark, sf_dir):
-    """J1-J4 analog: large-side shuffle join keyed by orderkey."""
-    li = _t(spark, sf_dir, "lineitem")
+    """J1-J4 analog: large-side shuffle join keyed by orderkey.
+
+    r6 shape (guide §2.3 "aggregate before you shuffle"): lineitem is
+    pre-aggregated to one decimal revenue per orderkey BEFORE the join, so
+    the exchange moves |orders| rows instead of |lineitem| (4× fewer here,
+    ~arbitrarily fewer at web scale where orders average many lines), and
+    the join probe handles one row per key.  Decimal partial sums are
+    exact and associative, so sum-of-per-key-sums == the flat sum
+    bit-for-bit (oracle parity pinned; measured 0.89 → 0.64 s)."""
+    n = spark.sparkContext.defaultParallelism
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)").alias("rev"),
+    )
+    pre = (
+        li.repartition(n, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
     orders = _t(spark, sf_dir, "orders")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        pre.join(orders, pre.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).cast("double").alias("revenue")
-        )
+        .agg(F.sum("rev").cast("double").alias("revenue"))
     )
 
 
@@ -801,29 +814,58 @@ def q19_minhash_lsh_pairs(spark, sf_dir):
     the exact Jaccard join then confirms — the same fast-path +
     exact-backstop shape as the URL-seen design (SURVEY §2.2 P10).
     """
-    sh = _scoped_cache(_shingles(spark, sf_dir))
-    # ONE aggregation computes every per-doc fact the pipeline needs: the
-    # 16 per-bin minhash minima (min over the bin = conditional min over
-    # the doc) AND the shingle count for the Jaccard denominators.  The
-    # previous shape paid two full shuffles of the shingle set (groupBy
-    # (doc_id, bin) + groupBy doc_id) plus a per-doc self-join to pair
-    # adjacent bins into band signatures; here bins are COLUMNS of one
-    # per-doc row, so the signature pairing is a plain projection and the
-    # tiny result is cached once for the self-join and both count joins
-    # (guide §2.3/§2.4).  Bin/band/signature semantics are unchanged: a
-    # bin "exists" iff its conditional min is non-null, exactly when the
-    # old groupBy produced a row for it.
+    # Single-pass shape (r6, guide §2.4/§2.3): hash-repartitioning the DOC
+    # rows by doc_id up front makes every per-doc stage exchange-free —
+    # HashPartitioning(doc_id) satisfies the clustering requirement of
+    # both the (doc_id, h) dedup and the groupBy(doc_id) — so the 600k-row
+    # shingle set is built, deduped (collect_set) and fully aggregated in
+    # ONE partition-local pass and never shuffled, cached, or broadcast at
+    # all.  The previous shape paid: a distinct Exchange of the whole
+    # shingle set, a second groupBy(doc_id) Exchange, a cache of the 600k
+    # rows, 16 conditional string-mins over all 600k rows, and an exact-
+    # verify join that BROADCAST the full shingle table (measured: the
+    # verify phase alone was +1.5 s of the 2.7 s total).  Here each doc's
+    # distinct shingles ride along as ONE sorted array column:
+    # * n (Jaccard denominator) = size(hs);
+    # * per-bin minhash minima = array_min over the bin's prefix-filtered
+    #   slice — 16 higher-order-function calls over 5k tiny rows instead
+    #   of 16 conditional mins over 600k (the HOF is interpreted, but the
+    #   projection is 5000 rows and perdoc is cached, so nothing
+    #   downstream loses codegen);
+    # * exact verify n_inter = size(array_intersect(hs_a, hs_b)) computed
+    #   directly on the ~hundreds of candidate pairs via two broadcasts of
+    #   the 5k-row perdoc — no join ever touches the shingle set again.
+    # Bin/band/signature semantics unchanged: hs is the same distinct set
+    # the old pipeline's distinct() produced (collect_set dedups), a bin
+    # "exists" iff its prefix-slice is non-empty (array_min of the empty
+    # slice is null, exactly when the conditional min was null), and
+    # n_inter over set arrays equals the old count of matching (h) join
+    # rows.  Pinned row-identical to the previous shape over sf0.1 during
+    # development; the frozen DuckDB oracle is the contract.
     _HEX = "0123456789abcdef"
-    perdoc = _scoped_cache(
-        sh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.min(F.when(F.substring("h", 1, 1) == d, F.col("h")))
-                .alias(f"m{j}")
-                for j, d in enumerate(_HEX)
-            ],
-        )
+    n_par = spark.sparkContext.defaultParallelism
+    docs = _t(spark, sf_dir, "documents").repartition(n_par, "doc_id")
+    sh = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)), F.lit(4))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        F.md5(F.encode(F.expr("substr(text, pos, 8)"), "utf-8")).alias("h"),
     )
+    base = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("hs")
+    )
+    perdoc = _scoped_cache(base.select(
+        "doc_id",
+        "hs",
+        *[
+            F.array_min(F.filter("hs", lambda x: x.startswith(d))).alias(f"m{j}")
+            for j, d in enumerate(_HEX)
+        ],
+    ))
     bands = F.array(*[
         F.struct(
             F.lit(_HEX[j]).alias("band"),
@@ -850,20 +892,22 @@ def q19_minhash_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = perdoc.select("doc_id", "n")
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.h") == F.col("sb.h")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    pa = perdoc.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    pb = perdoc.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    scored = (
+        cand.join(F.broadcast(pa), "doc_a")
+        .join(F.broadcast(pb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
+            F.size("hs_a").alias("na"),
+            F.size("hs_b").alias("nb"),
+        )
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac_raw = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(ca, "doc_a").join(cb, "doc_b")
-        .filter(jac_raw >= 0.5)  # filter pre-round, same as the oracle
+        scored.filter(jac_raw >= 0.5)  # filter pre-round, same as the oracle
         .select("doc_a", "doc_b", jac_raw.alias("jaccard"))
     )
 

@@ -596,6 +596,34 @@ def test_delta_merge_single_exchange_no_join(spark):
     assert rows["http://h9.test/new"].depth == 3
 
 
+def test_write_empty_matches_job_write(spark, tmp_path):
+    """The parquet write_empty fast path (r6: driver-side commit, no Spark
+    job) must be indistinguishable to readers from a zero-row Spark write:
+    same read-back rows (none), same column set with and without a caller
+    schema, and the _SUCCESS commit marker present."""
+    import os
+
+    from mlscraper_spark.crawl.engine import FETCHLOG_SCHEMA
+    from mlscraper_spark.tables import ParquetSnapshotFormat
+
+    fmt = ParquetSnapshotFormat()
+    fast = str(tmp_path / "fast")
+    job = str(tmp_path / "job")
+    fmt.write_empty(spark, fast, FETCHLOG_SCHEMA)
+    fmt.write(spark.createDataFrame([], FETCHLOG_SCHEMA), job)
+    assert fmt.is_complete(spark, fast) and fmt.is_complete(spark, job)
+    a = fmt.read(spark, [fast], FETCHLOG_SCHEMA)
+    b = fmt.read(spark, [job], FETCHLOG_SCHEMA)
+    assert a.columns == b.columns and a.count() == 0 == b.count()
+    # schema-less read must infer the same columns from the empty part
+    inferred = spark.read.parquet(fast)
+    assert inferred.columns == b.columns
+    # overwrite semantics: a second write_empty replaces the dir
+    fmt.write_empty(spark, fast, FETCHLOG_SCHEMA)
+    assert fmt.is_complete(spark, fast)
+    assert os.path.isfile(os.path.join(fast, "_SUCCESS"))
+
+
 def test_table_format_seam_contract(spark, tmp_path, oracle_state):
     """Inject a counting TableFormat through run_crawl and prove the epoch
     loop touches table storage ONLY via the seam: every parquet dir that
@@ -615,6 +643,11 @@ def test_table_format_seam_contract(spark, tmp_path, oracle_state):
         def write(self, df, path, mode="overwrite"):
             self.writes.append(path)
             super().write(df, path, mode)
+
+        def write_empty(self, spark_, path, schema):
+            # part of the seam: zero-row commits count as writes too
+            self.writes.append(path)
+            super().write_empty(spark_, path, schema)
 
         def read(self, spark_, paths, schema=None):
             self.reads.extend(paths)
