@@ -163,13 +163,19 @@ def _wrap_tree(builder: _TreeBuilder):
     return [html_idx]
 
 
-def parse_html(data: bytes | str) -> list[NodeRec]:
+def parse_html(data: bytes | str, text_ancestors: bool = False) -> list[NodeRec]:
     """Parse HTML into preorder-indexed node records.
 
     Equivalent role to ``Page.__init__`` + node interning
     (``/root/reference/mlscraper/html.py:189-207``): one record per element,
     identity = preorder index instead of pointer interning.
-    """
+
+    ``text_ancestors=True`` additionally fills ``text_anc_ids`` (the P2
+    precompute the distributed match scan consumes).  Opt-in because the
+    other parse consumers — link/image extraction, plan inference — never
+    read it, and the post-pass compares subtree texts (O(text) per
+    equal-text wrapper chain), a measurable tax on the fetch→extract hot
+    loops that parse millions of pages."""
     if isinstance(data, bytes):
         data = data.decode("utf-8", errors="replace")
     builder = _TreeBuilder()
@@ -223,9 +229,10 @@ def parse_html(data: bytes | str) -> list[NodeRec]:
     # P2 precompute (post-pass: ancestor text is only final after walk):
     # ancestors with identical stripped subtree text, nearest first — the
     # same set the former nodes⋈nodes ancestor join produced
-    for rec in records:
-        t = rec.text
-        rec.text_anc_ids = [
-            aid for aid in rec.ancestor_ids if records[aid].text == t
-        ]
+    if text_ancestors:
+        for rec in records:
+            t = rec.text
+            rec.text_anc_ids = [
+                aid for aid in rec.ancestor_ids if records[aid].text == t
+            ]
     return records

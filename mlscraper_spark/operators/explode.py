@@ -49,7 +49,7 @@ def explode_pages(pages_df: DataFrame, page_id_col: str = "page_id",
         for pdf in batches:
             rows = []
             for page_id, html in zip(pdf[page_id_col], pdf[html_col]):
-                for r in parse_html(html):
+                for r in parse_html(html, text_ancestors=True):
                     rows.append(
                         (
                             page_id,
