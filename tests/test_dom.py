@@ -108,3 +108,30 @@ def test_content_outside_html_kept():
     recs = parse_html(b"<div>OUTSIDE</div><html><body><p>IN</p></body></html>")
     texts = [r.text for r in recs if r.tag == "div"]
     assert texts == ["OUTSIDE"]
+
+
+def test_text_anc_ids_equals_join_definition():
+    """The parser's P2 precompute (r6) must equal the join-based
+    definition it replaced: for every node, the ancestors (nearest first)
+    whose stripped subtree text equals the node's — and it must be
+    opt-in (default parses skip the post-pass)."""
+    html = (
+        b"<html><body><div><p>wrapped</p></div>"
+        b"<section><span>a</span><span>b</span></section></body></html>"
+    )
+    recs = parse_html(html, text_ancestors=True)
+    by_id = {r.node_id: r for r in recs}
+    for r in recs:
+        expected = [a for a in r.ancestor_ids if by_id[a].text == r.text]
+        assert r.text_anc_ids == expected, (r.tag, r.node_id)
+    # the <p> promotes to its div wrapper (identical text); body/html
+    # also contain the section's text, so promotion stops there
+    p = next(r for r in recs if r.tag == "p")
+    div = next(r for r in recs if r.tag == "div")
+    assert p.text_anc_ids == [div.node_id]
+    # spans share a parent whose text differs -> no promotion
+    for r in recs:
+        if r.tag == "span":
+            assert r.text_anc_ids == []
+    # default parse skips the post-pass entirely
+    assert all(r.text_anc_ids == [] for r in parse_html(html))
