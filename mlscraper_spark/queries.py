@@ -74,24 +74,29 @@ def q01_pricing_summary(spark, sf_dir):
     # collapses the scan output before its exchange, so the single-split
     # scan is the serial term either way and the repartition only added a
     # full-row shuffle (measured q01 1.12→1.59 s)
+    # ONE decimal sum of l_quantity serves both sum_qty and avg_qty (r6):
+    # the column carries <=2 decimals, so its sums at scale 2 and scale 4
+    # are the same number, and decimal->double conversion is scale-blind —
+    # cast(sum(dec18,4) as double) == cast(sum(dec18,2) as double) bit-
+    # for-bit (pinned by hex-exact parity vs the oracle).  Spark dedupes
+    # the repeated aggregate expression, so the agg computes 3 decimal
+    # sums instead of 4 (measured 0.96 -> 0.86 s on the single-split
+    # scan+partial-agg task that dominates this query).
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,4)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             # decimal aggregation: exact and summation-order-independent,
             # so the value hash can never straddle a rounding boundary
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double").alias("sum_qty"),
+            qty.cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .cast("decimal(18,4)")
             ).cast("double").alias("sum_disc_price"),
-            (
-                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_qty"),
+            (qty.cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
